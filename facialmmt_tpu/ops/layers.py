@@ -41,28 +41,33 @@ def torch_linear_bias_init(fan_in: int) -> Callable:
 
 
 class TorchLinear(nn.Module):
-    """nn.Dense with torch nn.Linear default initialization.
+    """nn.Dense with torch nn.Linear default initialization (overridable).
 
     Keeping init statistics identical to the reference matters for from-scratch
-    training parity; converted checkpoints overwrite these anyway.
+    training parity; converted checkpoints overwrite these anyway.  Modules that
+    re-init their linears (e.g. Swin's trunc_normal _init_weights, reference
+    Swin_Transformer.py:498-505) pass kernel_init/bias_init explicitly.
     """
 
     features: int
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
-        kernel = self.param("kernel", torch_linear_kernel_init,
+        k_init = self.kernel_init or torch_linear_kernel_init
+        kernel = self.param("kernel", k_init,
                             (in_features, self.features), self.param_dtype)
         y_dtype = self.dtype or x.dtype
         y = jnp.dot(x.astype(y_dtype), kernel.astype(y_dtype),
                     preferred_element_type=y_dtype)
         if self.use_bias:
-            bias = self.param("bias", torch_linear_bias_init(in_features),
-                              (self.features,), self.param_dtype)
+            b_init = self.bias_init or torch_linear_bias_init(in_features)
+            bias = self.param("bias", b_init, (self.features,), self.param_dtype)
             y = y + bias.astype(y_dtype)
         return y
 

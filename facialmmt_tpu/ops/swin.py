@@ -1,0 +1,334 @@
+"""Swin-tiny backbone, TPU-native.
+
+Rebuild of the reference's Swin Transformer FER backbone
+(reference modules/SwinTransformer/Swin_Transformer.py:33-541, configured by
+swin_conf.yaml: tiny, depths (2,2,6,2), heads (3,6,12,24), window 7, drop_path 0.3).
+
+TPU-first design notes:
+  * window partition / reverse are pure reshape+transpose (layout ops XLA folds
+    into the surrounding fusions); the cyclic shift is jnp.roll;
+  * the shifted-window attention mask and the relative-position index are
+    compile-time numpy constants — zero device work;
+  * attention runs as batched einsums over (num_windows*B, 49, C) with
+    fp32 accumulation on the MXU; a fused Pallas window-attention kernel can be
+    swapped in via `attention_impl` (ops/pallas/window_attention.py);
+  * stochastic depth (DropPath) uses one bernoulli per sample per block;
+  * the head is LN -> flatten(49*768) -> Linear(512) -> BatchNorm1d, as the
+    reference's output_layer (Swin_Transformer.py:491-494).  The reference's
+    batch-of-1 duplication workaround (:533-541) exists only because torch
+    BatchNorm1d cannot take batch-1 in train mode; duplicating the row gives
+    batch stats with var=0, which is what flax computes natively for batch 1, so
+    no workaround is needed (eval mode uses running stats either way).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from facialmmt_tpu.config import SwinConfig
+from facialmmt_tpu.ops.layers import TorchLinear
+
+Dtype = Any
+
+# Swin re-initializes every Linear with trunc_normal(std=0.02) + zero bias
+# (reference Swin_Transformer.py:498-505)
+_SWIN_KERNEL_INIT = nn.initializers.truncated_normal(0.02)
+_SWIN_BIAS_INIT = nn.initializers.zeros
+
+
+def SwinLinear(features, use_bias=True, dtype=None, name=None):
+    return TorchLinear(features, use_bias=use_bias, dtype=dtype, name=name,
+                       kernel_init=_SWIN_KERNEL_INIT, bias_init=_SWIN_BIAS_INIT)
+
+
+def relative_position_index(window_size: int) -> np.ndarray:
+    """(Wh*Ww, Wh*Ww) indices into the (2W-1)^2 relative-position-bias table
+    (reference Swin_Transformer.py:92-103)."""
+    ws = window_size
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]          # 2, N, N
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+def shifted_window_mask(h: int, w: int, window_size: int,
+                        shift: int) -> np.ndarray:
+    """(num_windows, N, N) additive mask (-100 on cross-region pairs) for SW-MSA
+    (reference Swin_Transformer.py:208-231)."""
+    img = np.zeros((h, w))
+    cnt = 0
+    for hs in (slice(0, -window_size), slice(-window_size, -shift),
+               slice(-shift, None)):
+        for ws_ in (slice(0, -window_size), slice(-window_size, -shift),
+                    slice(-shift, None)):
+            img[hs, ws_] = cnt
+            cnt += 1
+    win = img.reshape(h // window_size, window_size,
+                      w // window_size, window_size)
+    win = win.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, ws*ws, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    c = windows.shape[-1]
+    b = windows.shape[0] // (h * w // ws // ws)
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm semantics: scale by 1/keep_prob)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias (reference Swin_Transformer.py:65-144)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic: bool = True):
+        """x: (B_, N, C) with N = window_size^2; mask: (nW, N, N) additive or None."""
+        b_, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+
+        qkv = SwinLinear(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, nh, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        scale = hd ** -0.5
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, nh), jnp.float32)
+        idx = jnp.asarray(relative_position_index(self.window_size))
+        bias = table[idx.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, nh, n, n)
+            attn = attn + mask.astype(attn.dtype)[None, :, None]
+            attn = attn.reshape(b_, nh, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b_, n, c)
+        out = SwinLinear(c, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class SwinBlock(nn.Module):
+    """One (S)W-MSA + MLP block (reference Swin_Transformer.py:163-270)."""
+
+    dim: int
+    input_resolution: tuple[int, int]
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h, w = self.input_resolution
+        ws, shift = self.window_size, self.shift_size
+        if min(h, w) <= ws:
+            ws, shift = min(h, w), 0     # whole-input window (reference :192-195)
+        b, l, c = x.shape
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        xw = window_partition(x, ws)
+
+        if shift > 0:
+            mask = jnp.asarray(shifted_window_mask(h, w, ws, shift))
+        else:
+            mask = None
+        attn = WindowAttention(
+            self.dim, ws, self.num_heads, self.qkv_bias,
+            self.attn_drop, self.drop, dtype=self.dtype, name="attn")(
+                xw, mask, deterministic=deterministic)
+
+        x = window_reverse(attn, ws, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = x.reshape(b, l, c)
+
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(x, deterministic=deterministic)
+
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = SwinLinear(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                       name="mlp_fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+        y = SwinLinear(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+        return x + dp(y, deterministic=deterministic)
+
+
+class PatchMerging(nn.Module):
+    """2x2 patch concat + LN + Linear(4C->2C, no bias) (reference :291-328)."""
+
+    input_resolution: tuple[int, int]
+    dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = self.input_resolution
+        b, l, c = x.shape
+        x = x.reshape(b, h, w, c)
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(b, l // 4, 4 * c)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return SwinLinear(2 * self.dim, use_bias=False, dtype=self.dtype,
+                          name="reduction")(x)
+
+
+class PatchEmbed(nn.Module):
+    """4x4 conv patchify + optional LN (reference :392-422)."""
+
+    config: SwinConfig
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        # x: (B, H, W, C) channel-last (TPU-native layout; NCHW inputs are
+        # transposed at the model boundary)
+        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+                    dtype=self.dtype, name="proj")(x)
+        b, ph, pw, c = x.shape
+        x = x.reshape(b, ph * pw, c)
+        if cfg.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return x
+
+
+class SwinTransformer(nn.Module):
+    """Full backbone: patchify -> 4 stages -> LN -> flatten -> Linear -> BatchNorm
+    (reference Swin_Transformer.py:434-541)."""
+
+    config: SwinConfig
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True,
+                 use_running_average: Optional[bool] = None):
+        """x: (B, H, W, 3) channel-last, normalized images.
+        Returns (B, out_feature_dim)."""
+        cfg = self.config
+        ura = use_running_average if use_running_average is not None else deterministic
+
+        x = PatchEmbed(cfg, dtype=self.dtype, name="patch_embed")(x)
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        total_depth = sum(cfg.depths)
+        dpr = np.linspace(0, cfg.drop_path_rate, total_depth)
+        res = cfg.patches_resolution
+        dim = cfg.embed_dim
+        blk_i = 0
+        num_layers = len(cfg.depths)
+        for stage in range(num_layers):
+            stage_res = (res[0] // (2 ** stage), res[1] // (2 ** stage))
+            for d in range(cfg.depths[stage]):
+                x = SwinBlock(
+                    dim=int(dim * 2 ** stage), input_resolution=stage_res,
+                    num_heads=cfg.num_heads[stage], window_size=cfg.window_size,
+                    shift_size=0 if d % 2 == 0 else cfg.window_size // 2,
+                    mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                    drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+                    drop_path=float(dpr[blk_i]), dtype=self.dtype,
+                    name=f"stage_{stage}_block_{d}")(x, deterministic=deterministic)
+                blk_i += 1
+            if stage < num_layers - 1:
+                x = PatchMerging(stage_res, int(dim * 2 ** stage),
+                                 dtype=self.dtype,
+                                 name=f"stage_{stage}_downsample")(x)
+
+        # head: LN -> flatten -> Linear(-> out_feature_dim) -> BatchNorm1d
+        x = nn.LayerNorm(epsilon=1e-5, name="head_norm")(x)
+        x = x.reshape(x.shape[0], -1)
+        x = SwinLinear(cfg.out_feature_dim, dtype=self.dtype, name="head_linear")(x)
+        x = nn.BatchNorm(use_running_average=ura, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="head_bn")(x)
+        return x
+
+
+def swin_flops(cfg: SwinConfig) -> int:
+    """Analytic FLOPs estimate, mirroring the reference's flops() capability
+    (reference Swin_Transformer.py:149-160, 276-288, 333-337, 383-389, 424-429)."""
+    flops = 0
+    ho, wo = cfg.patches_resolution
+    flops += ho * wo * cfg.embed_dim * cfg.in_chans * cfg.patch_size ** 2
+    if cfg.patch_norm:
+        flops += ho * wo * cfg.embed_dim
+    dim = cfg.embed_dim
+    for stage in range(len(cfg.depths)):
+        h = ho // (2 ** stage)
+        w = wo // (2 ** stage)
+        d = int(dim * 2 ** stage)
+        ws = min(cfg.window_size, h)
+        n = ws * ws
+        per_win = n * d * 3 * d + cfg.num_heads[stage] * n * (d // cfg.num_heads[stage]) * n * 2 + n * d * d
+        nw = h * w / n
+        per_block = d * h * w * 2 + nw * per_win + 2 * h * w * d * d * cfg.mlp_ratio
+        flops += int(per_block * cfg.depths[stage])
+        if stage < len(cfg.depths) - 1:
+            flops += h * w * d + (h // 2) * (w // 2) * 4 * d * 2 * d
+    flops += cfg.num_features * ho * wo // (4 ** (len(cfg.depths) - 1))
+    flops += (49 * cfg.num_features) * cfg.out_feature_dim
+    return int(flops)

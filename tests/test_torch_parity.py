@@ -1,0 +1,232 @@
+"""End-to-end numeric parity: reference torch modules vs our JAX rebuild.
+
+These tests import the reference implementation at /root/reference READ-ONLY,
+run it on CPU with random weights, convert its state_dict through
+checkpoint/torch_convert.py, and compare activations — validating the converter
+and our ops in one shot (SURVEY.md §4c: parity tests against converted
+checkpoints; with no released .pt files in the environment, randomly-initialized
+reference modules are the strongest available oracle).
+
+Skipped automatically when /root/reference is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference tree not available")
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    """Import reference modules with timm stubbed and .cuda() patched to no-op
+    (the reference hard-codes .cuda() calls; we run its math on CPU)."""
+    from facialmmt_tpu.checkpoint.torch_convert import load_torch_state_dict  # noqa: F401  (installs timm stub)
+    # installing the stub requires calling into the loader's import-time setup:
+    import facialmmt_tpu.checkpoint.torch_convert as tc
+
+    # trigger stub injection without loading a file
+    try:
+        tc.load_torch_state_dict("/nonexistent")
+    except Exception:
+        pass
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-only torch
+
+    import modules.Transformer as ref_transformer
+    import modules.CrossmodalTransformer as ref_crossmodal
+    import modules.SwinTransformer.Swin_Transformer as ref_swin
+    return types.SimpleNamespace(transformer=ref_transformer,
+                                 crossmodal=ref_crossmodal,
+                                 swin=ref_swin)
+
+
+def state_dict_np(model):
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+class EncCfg:
+    hidden_size = 32
+    num_attention_heads = 4
+    intermediate_size = 64
+    attention_probs_dropout_prob = 0.1
+    hidden_dropout_prob = 0.1
+    layer_norm_eps = 1e-12
+
+
+def test_utt_encoder_parity(reference_modules, rng):
+    import jax
+    import jax.numpy as jnp
+    from facialmmt_tpu.config import EncoderConfig
+    from facialmmt_tpu.checkpoint.torch_convert import convert_utt_encoder
+    from facialmmt_tpu.ops.encoder import UttTransEncoder
+
+    torch.manual_seed(0)
+    ref = reference_modules.transformer.MELDTransEncoder(EncCfg(), 2, 16, 32).eval()
+    x = rng.normal(size=(3, 9, 32)).astype(np.float32)
+    mask = (rng.random((3, 9)) > 0.3).astype(np.float32)
+    mask[:, 0] = 1
+    ext = torch.from_numpy(((1.0 - mask) * -10000.0)[:, None, None, :])
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), ext).numpy()
+
+    sd = state_dict_np(ref)
+    params = {"params": convert_utt_encoder(sd, "", 2)}
+    cfg = EncoderConfig(hidden_size=32, num_attention_heads=4,
+                        intermediate_size=64)
+    enc = UttTransEncoder(cfg, num_layers=2, max_len=16)
+    got = np.asarray(enc.apply(params, jnp.asarray(x), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_crossmodal_parity(reference_modules, rng):
+    import jax.numpy as jnp
+    from facialmmt_tpu.checkpoint.torch_convert import convert_crossmodal
+    from facialmmt_tpu.ops.crossmodal import CrossModalTransformerEncoder
+
+    torch.manual_seed(0)
+    ref = reference_modules.crossmodal.CrossModalTransformerEncoder(
+        32, 4, 2, 0.0, 0.0, 0.0, 0.0).eval()
+    # (seq, batch, dim) layout in the reference
+    q = rng.normal(size=(5, 2, 32)).astype(np.float32)
+    k = rng.normal(size=(9, 2, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(q), torch.from_numpy(k),
+                   torch.from_numpy(k)).numpy()
+
+    sd = state_dict_np(ref)
+    params = {"params": convert_crossmodal(
+        {f"m.{k2}": v for k2, v in sd.items()}, "m", 2)}
+    enc = CrossModalTransformerEncoder(embed_dim=32, num_heads=4, layers=2,
+                                       max_positions=16)
+    got = np.asarray(enc.apply(params, jnp.asarray(q.transpose(1, 0, 2)),
+                               jnp.asarray(k.transpose(1, 0, 2)),
+                               jnp.asarray(k.transpose(1, 0, 2))))
+    np.testing.assert_allclose(got.transpose(1, 0, 2), want, rtol=3e-4, atol=3e-4)
+
+
+def test_crossmodal_self_mode_parity(reference_modules, rng):
+    import jax.numpy as jnp
+    from facialmmt_tpu.checkpoint.torch_convert import convert_crossmodal
+    from facialmmt_tpu.ops.crossmodal import CrossModalTransformerEncoder
+
+    torch.manual_seed(1)
+    ref = reference_modules.crossmodal.CrossModalTransformerEncoder(
+        32, 4, 1, 0.0, 0.0, 0.0, 0.0).eval()
+    q = rng.normal(size=(7, 2, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(q)).numpy()
+    sd = state_dict_np(ref)
+    params = {"params": convert_crossmodal(
+        {f"m.{k2}": v for k2, v in sd.items()}, "m", 1)}
+    enc = CrossModalTransformerEncoder(embed_dim=32, num_heads=4, layers=1,
+                                       max_positions=16)
+    got = np.asarray(enc.apply(params, jnp.asarray(q.transpose(1, 0, 2))))
+    np.testing.assert_allclose(got.transpose(1, 0, 2), want, rtol=3e-4, atol=3e-4)
+
+
+def test_additive_attention_parity(reference_modules, rng):
+    import jax.numpy as jnp
+    from facialmmt_tpu.checkpoint.torch_convert import convert_additive_attention
+    from facialmmt_tpu.ops.layers import AdditiveAttention
+
+    torch.manual_seed(0)
+    ref = reference_modules.transformer.AdditiveAttention(32, 32).eval()
+    x = rng.normal(size=(3, 9, 32)).astype(np.float32)
+    mask = (rng.random((3, 9)) > 0.3).astype(np.float32)
+    mask[:, 0] = 1
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x), torch.from_numpy(mask))
+    sd = state_dict_np(ref)
+    params = {"params": convert_additive_attention(
+        {f"m.{k}": v for k, v in sd.items()}, "m")}
+    att = AdditiveAttention(32, 32)
+    got, _ = att.apply(params, jnp.asarray(x), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_swin_tiny_parity(reference_modules, rng):
+    """Full Swin-tiny 224x224 forward vs the reference, eval mode."""
+    import jax.numpy as jnp
+    from facialmmt_tpu.config import FacialMMTConfig
+    from facialmmt_tpu.checkpoint.torch_convert import convert_swin_backbone
+    from facialmmt_tpu.ops.swin import SwinTransformer
+
+    torch.manual_seed(0)
+    ref = reference_modules.swin.SwinTransformer(
+        img_size=224, patch_size=4, in_chans=3, embed_dim=96,
+        depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24], window_size=7,
+        mlp_ratio=4.0, qkv_bias=True, drop_rate=0.0,
+        drop_path_rate=0.0, ape=False, patch_norm=True).eval()
+    x = rng.normal(size=(2, 3, 224, 224)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    cfg = FacialMMTConfig()
+    sd = state_dict_np(ref)
+    params, stats = convert_swin_backbone(sd, "", cfg)
+    mine = SwinTransformer(cfg.swin)
+    got = np.asarray(mine.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1))))  # NCHW -> NHWC
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_text_encoder_parity_vs_hf(rng):
+    """Our native text encoder vs HF torch BertModel/RobertaModel with random
+    weights (offline — no pretrained downloads)."""
+    import jax.numpy as jnp
+    from transformers import BertConfig, BertModel, RobertaConfig, RobertaModel
+    from facialmmt_tpu.config import TextEncoderConfig
+    from facialmmt_tpu.checkpoint.torch_convert import convert_hf_text_encoder
+    from facialmmt_tpu.models.text_encoder import TextEncoder
+
+    for model_type in ("roberta", "bert"):
+        cfg = TextEncoderConfig.tiny(model_type)
+        if model_type == "roberta":
+            hf_cfg = RobertaConfig(
+                vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+                num_hidden_layers=cfg.num_layers,
+                num_attention_heads=cfg.num_heads,
+                intermediate_size=cfg.intermediate_size,
+                max_position_embeddings=cfg.max_position_embeddings,
+                type_vocab_size=cfg.type_vocab_size, pad_token_id=1,
+                layer_norm_eps=cfg.layer_norm_eps)
+            hf = RobertaModel(hf_cfg, add_pooling_layer=False).eval()
+        else:
+            hf_cfg = BertConfig(
+                vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+                num_hidden_layers=cfg.num_layers,
+                num_attention_heads=cfg.num_heads,
+                intermediate_size=cfg.intermediate_size,
+                max_position_embeddings=cfg.max_position_embeddings,
+                type_vocab_size=cfg.type_vocab_size, pad_token_id=0,
+                layer_norm_eps=cfg.layer_norm_eps)
+            hf = BertModel(hf_cfg, add_pooling_layer=False).eval()
+
+        ids = rng.integers(2, cfg.vocab_size, size=(2, 17))
+        mask = np.ones((2, 17), np.int64)
+        mask[0, 12:] = 0
+        ids = np.where(mask == 1, ids, cfg.pad_token_id)
+        with torch.no_grad():
+            want = hf(torch.from_numpy(ids),
+                      attention_mask=torch.from_numpy(mask)
+                      ).last_hidden_state.numpy()
+
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params = {"params": convert_hf_text_encoder(sd, "", cfg)}
+        enc = TextEncoder(cfg)
+        got = np.asarray(enc.apply(params, jnp.asarray(ids, jnp.int32),
+                                   jnp.asarray(mask, jnp.int32)))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4,
+                                   err_msg=model_type)
