@@ -1,0 +1,120 @@
+"""Device mesh + sharding rules.
+
+The reference has no distributed story (single GPU, LightningLite 'dp' with
+devices=1, reference main.py:152-160).  This module is the TPU-native first-class
+replacement (SURVEY.md §5.8): a jax.sharding.Mesh with named axes
+('data', 'model'), per-task sharding rules, and helpers for placing host batches.
+
+Layout strategy for this model family on a v5e-8 slice:
+  * data parallel over 'data' — batches (utterances / FER images) shard on their
+    leading axis; gradients are reduced by XLA-inserted psums over ICI;
+  * optional tensor parallel over 'model' for the text tower (the only >100M-param
+    component): attention/MLP kernels shard on the feature axis, biases and norms
+    replicate; XLA inserts the all-reduces after the row-parallel matmuls.
+Params not matched by a rule replicate.  Mesh axes of size 1 make every rule a
+no-op, so the same code runs single-chip unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshPlan:
+    mesh: Mesh
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+
+def build_mesh(dp: int = -1, tp: int = 1, *, data_axis: str = "data",
+               model_axis: str = "model",
+               devices: Optional[list] = None) -> MeshPlan:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp == -1:
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != device count ({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return MeshPlan(Mesh(arr, (data_axis, model_axis)), data_axis, model_axis)
+
+
+def replicate(plan: MeshPlan) -> NamedSharding:
+    return NamedSharding(plan.mesh, P())
+
+
+def batch_sharding(plan: MeshPlan) -> NamedSharding:
+    """Leading-axis data-parallel sharding."""
+    return NamedSharding(plan.mesh, P(plan.data_axis))
+
+
+def shard_batch(plan: MeshPlan, batch: Any) -> Any:
+    """Place a host batch pytree onto the mesh, sharded on the leading axis."""
+    sh = batch_sharding(plan)
+
+    def place(x):
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(place, batch)
+
+
+# Tensor-parallel rules for the text tower: (regex on 'path/with/slashes', spec).
+# Column-parallel (shard output features) for qkv/up-projections, row-parallel
+# (shard input features) for the down-projections; XLA inserts the psum.
+_TP_RULES = [
+    (r".*text_encoder/layer_\d+/(query|key|value)/kernel$", P(None, "model")),
+    (r".*text_encoder/layer_\d+/(query|key|value)/bias$", P("model")),
+    (r".*text_encoder/layer_\d+/attn_out/kernel$", P("model", None)),
+    (r".*text_encoder/layer_\d+/intermediate/kernel$", P(None, "model")),
+    (r".*text_encoder/layer_\d+/intermediate/bias$", P("model")),
+    (r".*text_encoder/layer_\d+/output/kernel$", P("model", None)),
+    (r".*word_embeddings/embedding$", P(None, None)),
+]
+
+
+def _spec_for(path: str, shape) -> P:
+    for pattern, spec in _TP_RULES:
+        if re.match(pattern, path):
+            return spec
+    return P()
+
+
+def param_shardings(plan: MeshPlan, params: Any) -> Any:
+    """NamedSharding tree for a parameter pytree: TP rules on the text tower,
+    replication elsewhere.  With tp=1 everything degenerates to replicated."""
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "name"):
+                parts.append(str(k.name))
+            else:
+                parts.append(str(k))
+        return "/".join(parts)
+
+    tp_size = plan.mesh.shape[plan.model_axis]
+    shardings = {}
+    for kp, leaf in flat:
+        p = path_str(kp)
+        spec = _spec_for(p, leaf.shape) if tp_size > 1 else P()
+        # drop specs that don't divide evenly (tiny test configs)
+        if tp_size > 1 and any(
+                s is not None and leaf.shape[i] % tp_size != 0
+                for i, s in enumerate(spec)):
+            spec = P()
+        shardings[p] = NamedSharding(plan.mesh, spec)
+
+    def lookup(kp, leaf):
+        return shardings[path_str(kp)]
+
+    return jax.tree_util.tree_map_with_path(lookup, params)

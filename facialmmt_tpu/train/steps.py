@@ -1,0 +1,151 @@
+"""Jitted train/eval steps for the three task loops.
+
+Replaces the reference's Python-orchestrated loop bodies (reference train.py:15-292)
+with compiled programs: each step is one XLA executable containing forward,
+backward, clip, AdamW update and (for the target task) the fused Swin+filter
+branch.  All steps are data-parallel over the mesh's 'data' axis; with tp>1 the
+text tower is tensor-parallel too (parallel/mesh.py).
+
+Reference semantics preserved:
+  * the target-task step computes gradients through Swin and then DISCARDS them
+    (two-optimizer coupling, reference train.py:305-340, SURVEY.md §3.2) unless
+    cfg-driven joint training is enabled;
+  * Swin's BatchNorm running statistics DO update during the target task
+    (reference multimodal_train calls shareSwin_model.train(), train.py:47);
+  * loss is mean cross-entropy (torch nn.CrossEntropyLoss default).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from facialmmt_tpu.config import FacialMMTConfig
+from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+from facialmmt_tpu.models.unimodal import MeldUttTransformer
+from facialmmt_tpu.train.optim import MultiTaskState, SingleTaskState
+
+
+def cross_entropy(logits, labels):
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels).mean()
+
+
+# ------------------------------------------------------------- target task --
+
+def make_multimodal_train_step(model: FacialMMTPipeline, swin_tx, mm_tx,
+                               *, swin_from_target: bool = False):
+    """Returns step(state, batch, rng) -> (state, loss).
+
+    batch carries the packed-face layout (models/pipeline.py) plus 'labels'.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, mutated = model.apply(
+            variables, batch, deterministic=False,
+            rngs={"gumbel": rng, "dropout": jax.random.fold_in(rng, 1)},
+            mutable=["batch_stats"])
+        return cross_entropy(logits, batch["labels"]), mutated["batch_stats"]
+
+    def step(state: MultiTaskState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, new_stats), grads = grad_fn(state.params, state.batch_stats,
+                                           batch, rng)
+        mm_updates, mm_opt_state = mm_tx.update(
+            grads["multimodal"], state.mm_opt_state, state.params["multimodal"])
+        new_mm = optax.apply_updates(state.params["multimodal"], mm_updates)
+        if swin_from_target:
+            sw_updates, swin_opt_state = swin_tx.update(
+                grads["swin_model"], state.swin_opt_state,
+                state.params["swin_model"])
+            new_swin = optax.apply_updates(state.params["swin_model"],
+                                           sw_updates)
+            swin_step = state.swin_step + 1
+        else:
+            # reference behavior: target grads into Swin are discarded
+            new_swin = state.params["swin_model"]
+            swin_opt_state = state.swin_opt_state
+            swin_step = state.swin_step
+        return state._replace(
+            params={"swin_model": new_swin, "multimodal": new_mm},
+            batch_stats=new_stats, mm_opt_state=mm_opt_state,
+            swin_opt_state=swin_opt_state, mm_step=state.mm_step + 1,
+            swin_step=swin_step), loss
+
+    return step
+
+
+def make_multimodal_eval_step(model: FacialMMTPipeline, *, sample_gumbel: bool):
+    """Eval step.  The reference SAMPLES gumbel noise at eval (src/models.py:31-32
+    under torch.no_grad); pass sample_gumbel=False for the deterministic variant
+    (cfg.runtime.deterministic_gumbel governs the model side)."""
+
+    def step(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits = model.apply(variables, batch, deterministic=True,
+                             rngs={"gumbel": rng})
+        loss = cross_entropy(logits, batch["labels"])
+        return logits, loss
+
+    return step
+
+
+# ---------------------------------------------------------- auxiliary task --
+
+def make_aux_train_step(model: FacialMMTPipeline, swin_tx):
+    """FER auxiliary step over Aff-Wild2 image batches (reference train.py:15-42)."""
+
+    def loss_fn(swin_params, other_params, batch_stats, images, labels, rng):
+        params = {"swin_model": swin_params, "multimodal": other_params}
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            deterministic=False, rngs={"dropout": rng},
+            method=FacialMMTPipeline.aux_logits, mutable=["batch_stats"])
+        return cross_entropy(logits, labels), mutated["batch_stats"]
+
+    def step(state: MultiTaskState, images, labels, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, new_stats), grads = grad_fn(
+            state.params["swin_model"], state.params["multimodal"],
+            state.batch_stats, images, labels, rng)
+        updates, opt_state = swin_tx.update(
+            grads, state.swin_opt_state, state.params["swin_model"])
+        new_swin = optax.apply_updates(state.params["swin_model"], updates)
+        return state._replace(
+            params={"swin_model": new_swin,
+                    "multimodal": state.params["multimodal"]},
+            batch_stats=new_stats, swin_opt_state=opt_state,
+            swin_step=state.swin_step + 1), loss
+
+    return step
+
+
+# ------------------------------------------------------------ unimodal task --
+
+def make_unimodal_train_step(model: MeldUttTransformer, tx):
+    def loss_fn(params, feats, mask, labels, rng):
+        logits = model.apply({"params": params}, feats, mask,
+                             deterministic=False, rngs={"dropout": rng})
+        return cross_entropy(logits, labels)
+
+    def step(state: SingleTaskState, feats, mask, labels, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, feats, mask,
+                                                  labels, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return SingleTaskState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def make_unimodal_eval_step(model: MeldUttTransformer):
+    def step(params, feats, mask, labels):
+        logits = model.apply({"params": params}, feats, mask)
+        return logits, cross_entropy(logits, labels)
+
+    return step

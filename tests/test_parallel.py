@@ -1,0 +1,114 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend (SURVEY.md §4d)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facialmmt_tpu.config import FacialMMTConfig
+from facialmmt_tpu.parallel.mesh import (batch_sharding, build_mesh,
+                                         param_shardings, shard_batch)
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_build_mesh_shapes():
+    plan = build_mesh(dp=-1, tp=1)
+    assert plan.mesh.shape == {"data": 8, "model": 1}
+    plan = build_mesh(dp=4, tp=2)
+    assert plan.mesh.shape == {"data": 4, "model": 2}
+
+
+def test_shard_batch_places_leading_axis():
+    plan = build_mesh(dp=8, tp=1)
+    batch = {"x": jnp.zeros((16, 5)), "y": jnp.zeros((16,), jnp.int32)}
+    sharded = shard_batch(plan, batch)
+    assert sharded["x"].sharding.spec == batch_sharding(plan).spec
+    # each device holds 2 rows
+    shards = sharded["x"].addressable_shards
+    assert len(shards) == 8 and shards[0].data.shape == (2, 5)
+
+
+def test_dp_training_step_on_mesh(rng):
+    """Full unimodal train step pjit-ed over an 8-way data mesh: the same jitted
+    step, params replicated, batch sharded — XLA inserts the gradient psums."""
+    from facialmmt_tpu.models.unimodal import MeldUttTransformer
+    from facialmmt_tpu.train.optim import SingleTaskState, make_optimizer
+    from facialmmt_tpu.train.steps import make_unimodal_train_step
+
+    cfg = FacialMMTConfig.tiny()
+    plan = build_mesh(dp=8, tp=1)
+    d = cfg.data
+    feats = jnp.asarray(rng.normal(size=(16, d.vision_utt_max_len,
+                                         d.vision_feat_dim)), jnp.float32)
+    mask = jnp.ones((16, d.vision_utt_max_len), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 7, size=16), jnp.int32)
+
+    model = MeldUttTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), feats[:2], mask[:2])["params"]
+    tx = make_optimizer(cfg.optim, 1e-3, 10)
+    state = SingleTaskState.create(params, tx)
+
+    # replicate state, shard batch
+    rep = jax.device_put(state, jax.tree.map(
+        lambda _: jax.sharding.NamedSharding(plan.mesh,
+                                             jax.sharding.PartitionSpec()),
+        state))
+    batch = shard_batch(plan, {"f": feats, "m": mask, "l": labels})
+    step = jax.jit(make_unimodal_train_step(model, tx))
+    new_state, loss = step(rep, batch["f"], batch["m"], batch["l"],
+                           jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    # parity vs single-device execution
+    single_state, single_loss = jax.jit(
+        make_unimodal_train_step(model, tx))(state, feats, mask, labels,
+                                             jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss), float(single_loss), rtol=1e-5)
+
+
+def test_tp_param_shardings_rules():
+    """Text-tower kernels get model-axis specs; everything else replicates."""
+    from facialmmt_tpu.models.text_encoder import TextEncoder
+    from facialmmt_tpu.config import TextEncoderConfig
+
+    plan = build_mesh(dp=4, tp=2)
+    cfg = TextEncoderConfig.tiny()
+    enc = TextEncoder(cfg)
+    ids = jnp.ones((2, 16), jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
+    tree = param_shardings(plan, {"text_encoder": params})
+    q = tree["text_encoder"]["layer_0"]["query"]["kernel"]
+    assert q.spec == jax.sharding.PartitionSpec(None, "model")
+    out = tree["text_encoder"]["layer_0"]["attn_out"]["kernel"]
+    assert out.spec == jax.sharding.PartitionSpec("model", None)
+    norm = tree["text_encoder"]["embeddings_norm"]["weight"]
+    assert norm.spec == jax.sharding.PartitionSpec()
+
+
+def test_tp_text_encoder_runs_sharded(rng):
+    """Text encoder executes with tensor-parallel params over tp=2 and matches
+    the replicated result."""
+    from facialmmt_tpu.models.text_encoder import TextEncoder
+    from facialmmt_tpu.config import TextEncoderConfig
+
+    plan = build_mesh(dp=4, tp=2)
+    cfg = TextEncoderConfig.tiny()
+    enc = TextEncoder(cfg)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, size=(8, 16)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = enc.init(jax.random.PRNGKey(0), ids, mask)["params"]
+
+    want = np.asarray(enc.apply({"params": params}, ids, mask))
+
+    shardings = param_shardings(plan, params)
+    sharded_params = jax.device_put(params, shardings)
+    data_sh = jax.sharding.NamedSharding(plan.mesh,
+                                         jax.sharding.PartitionSpec("data"))
+    ids_s = jax.device_put(ids, data_sh)
+    mask_s = jax.device_put(mask, data_sh)
+    got = np.asarray(jax.jit(
+        lambda p, i, m: enc.apply({"params": p}, i, m))(
+            sharded_params, ids_s, mask_s))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
