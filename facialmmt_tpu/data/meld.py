@@ -1,0 +1,221 @@
+"""MELD dataset loading + static-shape batch assembly.
+
+Rebuild of the reference's dataset layer (reference utils/dataset.py:160-307):
+  * precomputed audio (wav2vec2, 768-d) and vision (InceptionResnet, 512-d)
+    utterance feature pickles with masks and labels;
+  * {split}_utt_profile.json mapping utt index -> [utt_name, dia_name, dia_idx,
+    dia_len, utt_in_dia_idx] (reference utils/dataset.py:254-261);
+  * {split}_facseqs_160_paths_final.json mapping utt_name -> face-crop paths;
+  * dialogue text features from data/text_prep.py (cached as npz).
+
+TPU-first batching (vs the reference's bs=1 DataLoader):
+  * every batch is STATIC-SHAPE: B utterances, B dialogue slots (unique
+    dialogues deduped and gathered via dia_idx — encode-once-gather-many,
+    SURVEY.md §3.1), and a fixed face capacity N with packed real faces
+    (face_utt_id / face_pos slot maps; -1 pads);
+  * the host only DECODES jpegs (cv2, BGR order preserved — the reference feeds
+    BGR-as-RGB, utils/dataset.py:59, and released checkpoints expect it); all
+    resize/augment/normalize runs batched on device (data/image_pipeline.py);
+  * face lists longer than vision_utt_max_len truncate (reference :278-279).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+RAW_FACE_SIZE = 160  # MELD face crops are 160px (reference README.md:116)
+
+
+def _load_pickle(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+@dataclass
+class MeldTextArrays:
+    input_ids: np.ndarray   # (num_dia, 512)
+    input_mask: np.ndarray  # (num_dia, 512)
+    sep_mask: np.ndarray    # (num_dia, 512)
+
+
+class MeldVisionDataset:
+    """Unimodal V split (reference utils/dataset.py:160-189):
+    V/meld_{split}_vision_utt.pkl -> features, masks, labels."""
+
+    def __init__(self, data_load_path: str, split: str):
+        path = os.path.join(data_load_path, "V",
+                            f"meld_{split}_vision_utt.pkl")
+        data = _load_pickle(path)[split]
+        self.features = np.asarray(data["vision"], np.float32)
+        self.mask = np.asarray(data["vision_utt_mask"], np.int32)
+        self.labels = np.asarray(data["labels"], np.int64)
+
+    def __len__(self):
+        return self.features.shape[0]
+
+    @property
+    def max_utt_len(self):
+        return self.features.shape[1]
+
+    @property
+    def feat_dim(self):
+        return self.features.shape[-1]
+
+    def get_batch(self, indices: Sequence[int]):
+        idx = np.asarray(indices)
+        return {
+            "feats": self.features[idx],
+            "mask": self.mask[idx],
+            "labels": self.labels[idx],
+        }
+
+
+class MeldMultimodalDataset:
+    """T+A+V split: text arrays + audio/vision pickles + face sequences."""
+
+    def __init__(self, data_load_path: str, split: str,
+                 text_arrays: MeldTextArrays,
+                 choice_modality: str = "T+A+V",
+                 face_root: str = "",
+                 load_faces: bool = True):
+        base = os.path.join(data_load_path, choice_modality)
+        self.split = split
+        self.text = text_arrays
+        self.load_faces = load_faces
+        self.face_root = face_root
+
+        audio = _load_pickle(
+            os.path.join(base, f"meld_{split}_audio_utt.pkl"))[split]
+        self.audio = np.asarray(audio["audio"], np.float32)
+        self.audio_mask = np.asarray(audio["audio_utt_mask"], np.int32)
+
+        vision = _load_pickle(
+            os.path.join(base, f"meld_{split}_vision_utt.pkl"))[split]
+        self.vision = np.asarray(vision["vision"], np.float32)
+        self.vision_mask = np.asarray(vision["vision_utt_mask"], np.int32)
+        self.labels = np.asarray(vision["labels"], np.int64)
+
+        with open(os.path.join(base, f"{split}_utt_profile.json"),
+                  encoding="utf8") as f:
+            self.utt_profile = json.load(f)
+        with open(os.path.join(base,
+                               f"{split}_facseqs_160_paths_final.json"),
+                  encoding="utf8") as f:
+            self.utt_face_path = json.load(f)
+
+    def __len__(self):
+        return self.vision.shape[0]
+
+    @property
+    def audio_max_utt_len(self):
+        return self.audio.shape[1]
+
+    @property
+    def vision_max_utt_len(self):
+        return self.vision.shape[1]
+
+    @property
+    def audio_feat_dim(self):
+        return self.audio.shape[-1]
+
+    @property
+    def vision_feat_dim(self):
+        return self.vision.shape[-1]
+
+    def _decode_faces(self, paths: List[str]) -> np.ndarray:
+        """Host-side decode only.  BGR order preserved (see module docstring);
+        odd-sized crops are host-resized to the canonical 160 so the device
+        pipeline sees one static shape."""
+        import cv2
+
+        out = np.zeros((len(paths), RAW_FACE_SIZE, RAW_FACE_SIZE, 3), np.uint8)
+        for i, rel in enumerate(paths):
+            p = os.path.join(self.face_root, rel) if self.face_root else rel
+            im = cv2.imread(p)
+            if im is None:
+                continue
+            if im.shape[:2] != (RAW_FACE_SIZE, RAW_FACE_SIZE):
+                interp = (cv2.INTER_AREA if im.shape[0] > RAW_FACE_SIZE
+                          else cv2.INTER_CUBIC)
+                im = cv2.resize(im, (RAW_FACE_SIZE, RAW_FACE_SIZE),
+                                interpolation=interp)
+            out[i] = im
+        return out
+
+    def get_batch(self, indices: Sequence[int], face_capacity: int):
+        """Assemble one static-shape batch.
+
+        Returns numpy dict matching models/pipeline.py's layout, with
+        'faces_raw' as (face_capacity, 160, 160, 3) uint8 — run the device
+        augment (data/image_pipeline.py) and swap in as 'faces'.
+        """
+        idx = list(indices)
+        b = len(idx)
+        f_max = self.vision_max_utt_len
+
+        # --- dedup dialogues (encode-once-gather-many) ---
+        dia_slots: Dict[int, int] = {}
+        dia_idx = np.zeros(b, np.int32)
+        utt_in_dia_idx = np.zeros(b, np.int32)
+        utt_names = []
+        for j, i in enumerate(idx):
+            prof = self.utt_profile[str(i)]
+            utt_name, _dia_name, dia_i, _dia_len, utt_pos = prof
+            utt_names.append(utt_name)
+            if dia_i not in dia_slots:
+                dia_slots[dia_i] = len(dia_slots)
+            dia_idx[j] = dia_slots[dia_i]
+            utt_in_dia_idx[j] = utt_pos
+        slot_to_dia = {v: k for k, v in dia_slots.items()}
+        # B dialogue slots, pad-by-repeat keeps shapes static
+        dia_rows = [slot_to_dia.get(s, slot_to_dia[0]) for s in range(b)]
+        ids = self.text.input_ids[dia_rows]
+        imask = self.text.input_mask[dia_rows]
+        sep = self.text.sep_mask[dia_rows]
+
+        # --- pack faces ---
+        n_faces = np.zeros(b, np.int32)
+        face_utt_id = np.full(face_capacity, -1, np.int32)
+        face_pos = np.zeros(face_capacity, np.int32)
+        face_paths: List[Optional[str]] = []
+        cursor = 0
+        for j, name in enumerate(utt_names):
+            paths = self.utt_face_path.get(name, [])[:f_max]
+            take = min(len(paths), face_capacity - cursor)
+            n_faces[j] = take
+            for t in range(take):
+                face_utt_id[cursor] = j
+                face_pos[cursor] = t
+                face_paths.append(paths[t])
+                cursor += 1
+        if self.load_faces:
+            decoded = self._decode_faces(face_paths)
+            faces_raw = np.zeros((face_capacity, RAW_FACE_SIZE, RAW_FACE_SIZE, 3),
+                                 np.uint8)
+            faces_raw[:cursor] = decoded
+        else:
+            faces_raw = np.zeros((face_capacity, RAW_FACE_SIZE, RAW_FACE_SIZE, 3),
+                                 np.uint8)
+
+        return {
+            "dia_input_ids": ids,
+            "dia_input_mask": imask,
+            "dia_sep_mask": sep,
+            "dia_idx": dia_idx,
+            "utt_in_dia_idx": utt_in_dia_idx,
+            "audio_inputs": self.audio[idx],
+            "audio_mask": self.audio_mask[idx],
+            "vision_feats": self.vision[idx],
+            "vision_mask": self.vision_mask[idx],
+            "n_faces": n_faces,
+            "faces_raw": faces_raw,
+            "face_utt_id": face_utt_id,
+            "face_pos": face_pos,
+            "labels": self.labels[idx].astype(np.int32),
+        }

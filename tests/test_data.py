@@ -1,0 +1,217 @@
+"""Data layer tests: text prep vs a literal reference re-derivation, device image
+ops, static-shape batch assembly, loaders."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from facialmmt_tpu.data.text_prep import (MeldTextPreprocessor, join_dialogue,
+                                          truncate_seq_pair)
+from tests.fixtures import (WhitespaceTokenizer, write_affwild_fixture,
+                            write_meld_fixture)
+
+
+# --------------------------------------------------------------- text prep --
+
+def reference_truncate(tokens, max_length):
+    """Literal re-derivation of reference _truncate_seq_pair (:22-46)."""
+    while True:
+        lens = [(i, len(u)) for i, u in enumerate(tokens)]
+        if sum(l for _, l in lens) <= max_length:
+            break
+        idx = sorted(lens, key=lambda x: x[1], reverse=True)[0][0]
+        tokens[idx].pop()
+    return tokens
+
+
+def test_truncate_matches_reference(rng):
+    for _ in range(20):
+        utts = [[f"t{i}_{j}" for j in range(int(rng.integers(1, 30)))]
+                for i in range(int(rng.integers(1, 8)))]
+        import copy
+        a = truncate_seq_pair(copy.deepcopy(utts), 40)
+        b = reference_truncate(copy.deepcopy(utts), 40)
+        assert a == b
+
+
+def test_join_dialogue_roberta_layout():
+    toks, sep = join_dialogue([["a", "b"], ["c"]], is_roberta=True)
+    assert toks == ["<s>", "a", "b", "</s>", "</s>", "c", "</s>"]
+    assert sep == [0, 0, 0, 1, 0, 0, 1]
+
+
+def test_join_dialogue_bert_layout():
+    toks, sep = join_dialogue([["a", "b"], ["c"]], is_roberta=False)
+    assert toks == ["[CLS]", "a", "b", "[SEP]", "c", "[SEP]"]
+    assert sep == [0, 0, 0, 1, 0, 1]
+
+
+def test_preprocessor_pads_to_max(tmp_path):
+    tok = WhitespaceTokenizer()
+    prep = MeldTextPreprocessor(tok, is_roberta=True, max_seq_length=64)
+    feats = prep.preprocess_dialogues([["hello world", "foo"], ["just one"]])
+    assert len(feats) == 2
+    for f in feats:
+        assert len(f.input_ids) == 64
+        assert len(f.sep_mask) == 64
+    # two utterances => two separators
+    assert sum(feats[0].sep_mask) == 2
+
+
+# ------------------------------------------------------------- image ops --
+
+def test_resize_and_normalize():
+    from facialmmt_tpu.data.image_pipeline import (meld_face_eval_transform,
+                                                   normalize_images)
+
+    imgs = jnp.full((2, 160, 160, 3), 128.0)
+    out = meld_face_eval_transform(imgs, img_size=32)
+    assert out.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(out), (128 / 255 - 0.5) / 0.5,
+                               atol=1e-5)
+
+
+def test_color_jitter_bounds(rng):
+    from facialmmt_tpu.data.image_pipeline import color_jitter
+
+    imgs = jnp.asarray(rng.uniform(0, 255, (4, 16, 16, 3)).astype(np.float32))
+    out = color_jitter(jax.random.PRNGKey(0), imgs, 0.5, 0.5, 0.5, 0.5)
+    o = np.asarray(out)
+    assert o.shape == imgs.shape
+    assert o.min() >= 0.0 and o.max() <= 255.0
+    assert not np.allclose(o, np.asarray(imgs))  # something changed
+
+
+def test_grayscale_matches_luma(rng):
+    from facialmmt_tpu.data.image_pipeline import grayscale
+
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, 8, 8, 3)).astype(np.float32))
+    g = np.asarray(grayscale(imgs))
+    want = (np.asarray(imgs) * [0.299, 0.587, 0.114]).sum(-1)
+    np.testing.assert_allclose(g[..., 0], want, rtol=1e-5)
+    np.testing.assert_allclose(g[..., 0], g[..., 1])
+
+
+def test_random_erasing_statistics():
+    from facialmmt_tpu.data.image_pipeline import random_erasing
+
+    imgs = jnp.zeros((64, 24, 24, 3))
+    out = np.asarray(random_erasing(jax.random.PRNGKey(0), imgs, prob=1.0))
+    erased = (np.abs(out) > 1e-6).any(axis=(1, 2, 3))
+    assert erased.mean() > 0.9  # nearly all erased at prob=1
+    out2 = np.asarray(random_erasing(jax.random.PRNGKey(0), imgs, prob=0.0))
+    assert np.allclose(out2, 0)
+
+
+def test_gaussian_blur_preserves_mean(rng):
+    from facialmmt_tpu.data.image_pipeline import gaussian_blur
+
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32))
+    # force a strong blur so the smoothing is unambiguous
+    out = np.asarray(gaussian_blur(jax.random.PRNGKey(0), imgs,
+                                   sigma_min=1.8, sigma_max=2.0))
+    assert abs(out.mean() - np.asarray(imgs).mean()) < 10
+    assert out.var() < np.asarray(imgs).var() * 0.8
+
+
+def test_affwild_augment_end_to_end(rng):
+    from facialmmt_tpu.data.image_pipeline import affwild2_train_augment
+
+    imgs = jnp.asarray(rng.integers(0, 255, (4, 112, 112, 3)).astype(np.uint8))
+    out = affwild2_train_augment(jax.random.PRNGKey(0), imgs, img_size=128)
+    assert out.shape == (4, 128, 128, 3)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    assert o.min() >= -6.0 and o.max() <= 6.0  # normalized + pixel-noise range
+
+
+# ------------------------------------------------------ dataset + loaders --
+
+def test_meld_multimodal_batch_assembly(tmp_path, rng):
+    from facialmmt_tpu.data.meld import MeldMultimodalDataset, MeldTextArrays
+    from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
+
+    fix = write_meld_fixture(str(tmp_path), split="test")
+    tok = WhitespaceTokenizer()
+    prep = MeldTextPreprocessor(tok, is_roberta=True, max_seq_length=64)
+    feats = prep.preprocess_split(fix["csv"], fix["text_json"])
+    ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
+    ds = MeldMultimodalDataset(str(tmp_path), "test",
+                               MeldTextArrays(ids, mask, sep))
+    assert len(ds) == fix["n_utt"]
+
+    batch = ds.get_batch([0, 1, 3], face_capacity=8)
+    # utterances 0,1 in dia0; 3 in dia1 => dia_idx [0, 0, 1]
+    np.testing.assert_array_equal(batch["dia_idx"], [0, 0, 1])
+    np.testing.assert_array_equal(batch["utt_in_dia_idx"], [0, 1, 0])
+    assert batch["dia_input_ids"].shape == (3, 64)
+    # packed faces: slots assigned contiguously, -1 padding after
+    total = int(batch["n_faces"].sum())
+    assert (batch["face_utt_id"][:total] >= 0).all()
+    assert (batch["face_utt_id"][total:] == -1).all()
+    # decoded faces are nonzero where real
+    assert batch["faces_raw"][:total].sum() > 0
+    np.testing.assert_array_equal(batch["labels"],
+                                  fix["labels"][[0, 1, 3]])
+
+
+def test_meld_vision_dataset(tmp_path):
+    from facialmmt_tpu.data.meld import MeldVisionDataset
+
+    write_meld_fixture(str(tmp_path), split="val")
+    ds = MeldVisionDataset(str(tmp_path), "val")
+    b = ds.get_batch([0, 2])
+    assert b["feats"].shape[0] == 2
+    assert b["mask"].shape == (2, ds.max_utt_len)
+
+
+def test_affwild_list_generation(tmp_path):
+    from facialmmt_tpu.data.affwild2 import ABAW_TO_MELD, AffwildDataset
+
+    fix = write_affwild_fixture(str(tmp_path))
+    ds = AffwildDataset(fix["file_folder"], fix["anno_folder"],
+                        data_list=str(tmp_path / "list.txt"))
+    assert len(ds) > 0
+    for _, label in ds.data_list:
+        assert 0 <= label <= 6  # -1 and 'other' dropped, remapped
+    imgs, labels = ds.get_batch(range(min(3, len(ds))))
+    assert imgs.shape[1:] == (112, 112, 3)
+    assert imgs.sum() > 0
+    # reload from the saved list file
+    ds2 = AffwildDataset(fix["file_folder"], data_list=str(tmp_path / "list.txt"))
+    assert ds2.data_list == ds.data_list
+
+
+def test_prefetch_loader_padding_and_order():
+    from facialmmt_tpu.data.loader import PrefetchLoader, epoch_batches
+
+    batches = epoch_batches(10, 4, shuffle=False)
+    assert [n for _, n in batches] == [4, 4, 2]
+    assert batches[-1][0].tolist() == [8, 9, 9, 9]  # padded by repeat
+
+    loader = PrefetchLoader(lambda idx: {"i": np.asarray(idx)}, 10, 4,
+                            shuffle=False)
+    got = list(loader.epoch(0))
+    assert len(got) == 3 == len(loader)
+    np.testing.assert_array_equal(got[0][0]["i"], [0, 1, 2, 3])
+    assert got[2][1] == 2
+
+    # shuffle is epoch-dependent but seeded-deterministic
+    l2 = PrefetchLoader(lambda idx: idx, 10, 4, shuffle=True, seed=1)
+    a = [np.asarray(b).tolist() for b, _ in l2.epoch(0)]
+    b = [np.asarray(b).tolist() for b, _ in l2.epoch(0)]
+    c = [np.asarray(b).tolist() for b, _ in l2.epoch(1)]
+    assert a == b and a != c
+
+
+def test_prefetch_loader_propagates_errors():
+    from facialmmt_tpu.data.loader import PrefetchLoader
+
+    def boom(idx):
+        raise RuntimeError("decode failed")
+
+    loader = PrefetchLoader(boom, 4, 2, shuffle=False)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader.epoch(0))
