@@ -1,0 +1,90 @@
+"""Native checkpointing: orbax pytree checkpoints with mid-training resume.
+
+The reference persists whole-module torch pickles of the best model only, with
+no optimizer state and no mid-training resume (reference utils/util.py:121-159,
+SURVEY.md §5.4).  Here checkpoints carry {params, batch_stats, opt_state, step,
+best_f1} with save-by-step, latest-step resume, and best-model retention that
+mirrors the reference's delete-superseded behavior (reference train.py:377-388).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _as_numpy_tree(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Thin orbax wrapper with best-model retention."""
+
+    def __init__(self, directory: str, keep_best_only: bool = True):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.keep_best_only = keep_best_only
+        self._ckptr = ocp.PyTreeCheckpointer()
+        self._best_path: Optional[str] = None
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.directory, tag)
+
+    def save(self, tag: str, tree: Any, overwrite: bool = True) -> str:
+        path = self._path(tag)
+        if overwrite and os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, _as_numpy_tree(tree))
+        return path
+
+    def save_best(self, tree: Any, step: int) -> str:
+        """Save a new best model, deleting the superseded one
+        (reference train.py:377-388 semantics)."""
+        tag = f"best_{step}"
+        path = self.save(tag, tree)
+        if self.keep_best_only and self._best_path and \
+                self._best_path != path and os.path.exists(self._best_path):
+            shutil.rmtree(self._best_path)
+        self._best_path = path
+        return path
+
+    def save_step(self, tree: Any, step: int) -> str:
+        """Periodic resume checkpoint (preemption resilience, SURVEY.md §5.3)."""
+        return self.save(f"step_{step}", tree)
+
+    def latest_step(self) -> Optional[int]:
+        steps = []
+        if os.path.isdir(self.directory):
+            for name in os.listdir(self.directory):
+                if name.startswith("step_"):
+                    try:
+                        steps.append(int(name.split("_")[1]))
+                    except ValueError:
+                        pass
+        return max(steps) if steps else None
+
+    def restore(self, tag: str, template: Optional[Any] = None) -> Any:
+        path = self._path(tag)
+        if template is not None:
+            return self._ckptr.restore(path, item=_as_numpy_tree(template))
+        return self._ckptr.restore(path)
+
+    def restore_best(self, template: Optional[Any] = None) -> Any:
+        best = None
+        for name in os.listdir(self.directory):
+            if name.startswith("best_"):
+                best = name  # single best retained
+        if best is None:
+            raise FileNotFoundError(f"no best checkpoint in {self.directory}")
+        return self.restore(best, template)
+
+    def restore_latest(self, template: Optional[Any] = None) -> Optional[Any]:
+        step = self.latest_step()
+        if step is None:
+            return None
+        return self.restore(f"step_{step}", template)

@@ -1,0 +1,282 @@
+"""CLI entry point, mirroring the reference flag surface (reference main.py:12-105).
+
+Usage (same flags as NUSTM/FacialMMT):
+  python -m facialmmt_tpu.main --choice_modality V --doEval 1 \
+      --data_load_path preprocess_data --load_unimodal_path unimodal_model_V.pt
+  python -m facialmmt_tpu.main --choice_modality T+A+V --plm_name roberta-large \
+      --doEval 1 --load_multimodal_path ... --load_swin_path ...
+  python -m facialmmt_tpu.main --choice_modality T+A+V --doEval 0 ...  (train)
+
+Torch checkpoints (.pt, the reference's whole-module pickles) are converted on
+load; orbax checkpoint directories load natively.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="FacialMMT-TPU: facial-expression-aware multimodal "
+                    "multi-task ERC, TPU-native")
+    # dataset paths (reference main.py:16-32)
+    p.add_argument("--load_anno_csv_path", type=str, default="")
+    p.add_argument("--meld_text_path", type=str, default="")
+    p.add_argument("--num_labels", type=int, default=7)
+    p.add_argument("--data_load_path", type=str, default="preprocess_data")
+    p.add_argument("--save_Model_path", type=str, default="saved_model")
+    p.add_argument("--plm_name", type=str, default="roberta-large",
+                   choices=["roberta-large", "bert-large"])
+    p.add_argument("--choice_modality", type=str, default="T+A+V",
+                   choices=["T+A+V", "V", "T+A", "T+V"])
+    # aff-wild2 (reference main.py:27-32)
+    p.add_argument("--data_folder", type=str, default="")
+    p.add_argument("--anno_folder", type=str, default="")
+    p.add_argument("--data_list_train", type=str, default="")
+    # swin (reference main.py:35-43)
+    p.add_argument("--pretrained_backbone_path", type=str, default="")
+    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--FacialEmoImpor_threshold", type=float, default=0.2)
+    # tuning (reference main.py:46-61)
+    p.add_argument("--num_epochs", type=int, default=1)
+    p.add_argument("--aux_lr", type=float, default=5e-5)
+    p.add_argument("--trg_lr", type=float, default=7e-6)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--warm_up", type=float, default=0.1)
+    p.add_argument("--aux_batch_size", type=int, default=150)
+    p.add_argument("--trg_batch_size", type=int, default=1)
+    p.add_argument("--aux_accumulation_steps", type=int, default=1)
+    p.add_argument("--trg_accumulation_steps", type=int, default=4)
+    # fusion (reference main.py:64-70)
+    p.add_argument("--crossmodal_layers_TA", type=int, default=2)
+    p.add_argument("--crossmodal_num_heads_TA", type=int, default=12)
+    p.add_argument("--crossmodal_attn_dropout_TA", type=float, default=0.1)
+    p.add_argument("--crossmodal_layers_TA_V", type=int, default=2)
+    p.add_argument("--crossmodal_num_heads_TA_V", type=int, default=12)
+    p.add_argument("--crossmodal_attn_dropout_TA_V", type=float, default=0.1)
+    # encoders (reference main.py:74-84)
+    p.add_argument("--audio_utt_Transformernum", type=int, default=5)
+    p.add_argument("--vision_utt_Transformernum", type=int, default=2)
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--num_attention_heads", type=int, default=12)
+    p.add_argument("--intermediate_size", type=int, default=3072)
+    p.add_argument("--hidden_dropout_prob", type=float, default=0.1)
+    p.add_argument("--attention_probs_dropout_prob", type=float, default=0.1)
+    p.add_argument("--layer_norm_eps", type=float, default=1e-12)
+    # misc (reference main.py:87-103)
+    p.add_argument("--clip", type=float, default=0.8)
+    p.add_argument("--aux_log_interval", type=int, default=1000)
+    p.add_argument("--trg_log_interval", type=int, default=1600)
+    p.add_argument("--seed", type=int, default=1111)
+    p.add_argument("--doEval", type=int, default=1)
+    p.add_argument("--load_unimodal_path", type=str,
+                   default="unimodal_model_V.pt")
+    p.add_argument("--load_multimodal_path", type=str,
+                   default="multimodal_model_T+A+V_RoBERTa.pt")
+    p.add_argument("--load_swin_path", type=str, default="best_swin_RoBERTa.pt")
+    p.add_argument("--pretrained_model_dir", type=str,
+                   default="pretrained_model")
+    # TPU-native extensions
+    p.add_argument("--modalityFuse", type=str, default="crossmodal",
+                   choices=["crossmodal", "concat"])
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--deterministic_gumbel", type=int, default=0)
+    p.add_argument("--dp", type=int, default=-1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--metrics_path", type=str, default="metrics.jsonl")
+    return p
+
+
+def config_from_args(args) -> "FacialMMTConfig":
+    from facialmmt_tpu.config import (CrossModalConfig, DataConfig,
+                                      EncoderConfig, FacialMMTConfig,
+                                      OptimConfig, ParallelConfig,
+                                      RuntimeConfig)
+
+    enc = EncoderConfig(
+        hidden_size=args.hidden_size,
+        num_attention_heads=args.num_attention_heads,
+        intermediate_size=args.intermediate_size,
+        hidden_dropout_prob=args.hidden_dropout_prob,
+        attention_probs_dropout_prob=args.attention_probs_dropout_prob,
+        layer_norm_eps=args.layer_norm_eps)
+    cm_ta = CrossModalConfig(embed_dim=args.hidden_size,
+                             num_heads=args.crossmodal_num_heads_TA,
+                             layers=args.crossmodal_layers_TA,
+                             attn_dropout=args.crossmodal_attn_dropout_TA)
+    cm_tav = CrossModalConfig(embed_dim=args.hidden_size,
+                              num_heads=args.crossmodal_num_heads_TA_V,
+                              layers=args.crossmodal_layers_TA_V,
+                              attn_dropout=args.crossmodal_attn_dropout_TA_V)
+    data = DataConfig(load_anno_csv_path=args.load_anno_csv_path,
+                      meld_text_path=args.meld_text_path,
+                      data_load_path=args.data_load_path,
+                      data_folder=args.data_folder,
+                      anno_folder=args.anno_folder,
+                      data_list_train=args.data_list_train)
+    optim = OptimConfig(num_epochs=args.num_epochs, aux_lr=args.aux_lr,
+                        trg_lr=args.trg_lr, weight_decay=args.weight_decay,
+                        warm_up=args.warm_up,
+                        aux_batch_size=args.aux_batch_size,
+                        trg_batch_size=args.trg_batch_size,
+                        aux_accumulation_steps=args.aux_accumulation_steps,
+                        trg_accumulation_steps=args.trg_accumulation_steps,
+                        clip=args.clip)
+    runtime = RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
+                            deterministic_gumbel=bool(
+                                args.deterministic_gumbel),
+                            aux_log_interval=args.aux_log_interval,
+                            trg_log_interval=args.trg_log_interval,
+                            save_model_path=args.save_Model_path,
+                            metrics_path=args.metrics_path)
+    return FacialMMTConfig(
+        choice_modality=args.choice_modality, plm_name=args.plm_name,
+        do_eval=bool(args.doEval), num_labels=args.num_labels,
+        hidden_size=args.hidden_size, tau=args.tau,
+        facial_emo_impor_threshold=args.FacialEmoImpor_threshold,
+        audio_utt_transformer_num=args.audio_utt_Transformernum,
+        vision_utt_transformer_num=args.vision_utt_Transformernum,
+        modality_fuse=args.modalityFuse,
+        encoder=enc, crossmodal_ta=cm_ta, crossmodal_ta_v=cm_tav,
+        data=data, optim=optim, runtime=runtime,
+        parallel=ParallelConfig(dp=args.dp, tp=args.tp),
+        load_unimodal_path=args.load_unimodal_path,
+        load_multimodal_path=args.load_multimodal_path,
+        load_swin_path=args.load_swin_path,
+        pretrained_backbone_path=args.pretrained_backbone_path)
+
+
+def _adapt_static_shapes(cfg, train_ds):
+    """Derive static shape hyperparameters from the data, as the reference does
+    at main.py:134-145, but once, explicitly."""
+    data = cfg.data
+    kw = dict(audio_utt_max_len=data.audio_utt_max_len,
+              vision_utt_max_len=data.vision_utt_max_len,
+              audio_feat_dim=data.audio_feat_dim,
+              vision_feat_dim=data.vision_feat_dim)
+    if hasattr(train_ds, "audio_max_utt_len"):
+        kw["audio_utt_max_len"] = train_ds.audio_max_utt_len
+        kw["audio_feat_dim"] = train_ds.audio_feat_dim
+    if hasattr(train_ds, "vision_max_utt_len"):
+        kw["vision_utt_max_len"] = train_ds.vision_max_utt_len
+        kw["vision_feat_dim"] = train_ds.vision_feat_dim
+    elif hasattr(train_ds, "max_utt_len"):
+        kw["vision_utt_max_len"] = train_ds.max_utt_len
+        kw["vision_feat_dim"] = train_ds.feat_dim
+    return cfg.replace(data=dataclasses.replace(data, **kw))
+
+
+def load_torch_unimodal(cfg, path):
+    from facialmmt_tpu.checkpoint.torch_convert import (convert_unimodal,
+                                                        load_torch_state_dict)
+
+    return convert_unimodal(load_torch_state_dict(path), cfg)
+
+
+def load_torch_multimodal(cfg, mm_path, swin_path):
+    from facialmmt_tpu.checkpoint.torch_convert import (convert_multimodal,
+                                                        convert_swin_fer,
+                                                        load_torch_state_dict)
+
+    mm = convert_multimodal(load_torch_state_dict(mm_path), cfg)
+    sw = convert_swin_fer(load_torch_state_dict(swin_path), cfg)
+    params = {"multimodal": mm["params"], "swin_model": sw["params"]}
+    batch_stats = {"swin_model": sw["batch_stats"]}
+    return params, batch_stats
+
+
+def run(argv=None) -> float:
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+
+    writer = MetricWriter(cfg.runtime.metrics_path)
+    print("&" * 50)
+
+    if cfg.choice_modality == "V":
+        from facialmmt_tpu.data.meld import MeldVisionDataset
+
+        test_ds = MeldVisionDataset(cfg.data.data_load_path, "test")
+        cfg = _adapt_static_shapes(cfg, test_ds)
+        trainer = Trainer(cfg, writer)
+        if cfg.do_eval:
+            print("Evaluating on the test set directly...")
+            ckpt_path = os.path.join(args.pretrained_model_dir,
+                                     cfg.load_unimodal_path)
+            variables = load_torch_unimodal(cfg, ckpt_path)
+            return trainer.eval_unimodal_only(variables["params"], test_ds)
+        print("Training from scratch...")
+        train_ds = MeldVisionDataset(cfg.data.data_load_path, "train")
+        valid_ds = MeldVisionDataset(cfg.data.data_load_path, "val")
+        return trainer.run_unimodal(train_ds, valid_ds, test_ds)
+
+    # T+A+V (and appendix subsets)
+    from facialmmt_tpu.data.meld import MeldMultimodalDataset, MeldTextArrays
+    from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
+
+    def build_split(split):
+        import json
+
+        is_roberta = cfg.plm_name == "roberta-large"
+        cache = os.path.join(cfg.data.data_load_path, cfg.choice_modality,
+                             f"text_{split}_{cfg.plm_name}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            arrays = MeldTextArrays(z["ids"], z["mask"], z["sep"])
+        else:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(
+                cfg.pretrained_text_model_path or cfg.plm_name)
+            prep = MeldTextPreprocessor(tok, is_roberta)
+            feats = prep.preprocess_split(
+                os.path.join(cfg.data.load_anno_csv_path,
+                             f"{split}_sent_emo.csv"),
+                os.path.join(cfg.data.meld_text_path, f"{split}_text.json"))
+            ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
+            np.savez(cache, ids=ids, mask=mask, sep=sep)
+            arrays = MeldTextArrays(ids, mask, sep)
+        return MeldMultimodalDataset(cfg.data.data_load_path, split, arrays,
+                                     cfg.choice_modality)
+
+    test_ds = build_split("test")
+    cfg = _adapt_static_shapes(cfg, test_ds)
+    trainer = Trainer(cfg, writer)
+    if cfg.do_eval:
+        print("Evaluating on the test set directly...")
+        params, batch_stats = load_torch_multimodal(
+            cfg,
+            os.path.join(args.pretrained_model_dir, cfg.load_multimodal_path),
+            os.path.join(args.pretrained_model_dir, cfg.load_swin_path))
+        return trainer.eval_multimodal_only(params, batch_stats, test_ds)
+
+    print("Training from scratch...")
+    train_ds = build_split("train")
+    valid_ds = build_split("val")
+    from facialmmt_tpu.data.affwild2 import AffwildDataset
+
+    aux_ds = AffwildDataset(cfg.data.data_folder, cfg.data.anno_folder,
+                            cfg.data.data_list_train)
+    pretrained = None
+    if cfg.pretrained_backbone_path and os.path.exists(
+            cfg.pretrained_backbone_path):
+        from facialmmt_tpu.checkpoint.torch_convert import (
+            convert_pretrained_swin_backbone, load_torch_state_dict)
+
+        pretrained = convert_pretrained_swin_backbone(
+            load_torch_state_dict(cfg.pretrained_backbone_path), cfg)
+    return trainer.run_multimodal(aux_ds, train_ds, valid_ds, test_ds,
+                                  pretrained)
+
+
+if __name__ == "__main__":
+    run()

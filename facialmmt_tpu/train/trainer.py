@@ -1,0 +1,289 @@
+"""Experiment driver: the reference's Lite.run loops rebuilt around jitted steps.
+
+Covers reference train.py:11-435:
+  * unimodal V train/eval loop;
+  * multi-task T+A+V: epoch-level alternation of the Aff-Wild2 FER pass and the
+    MELD target pass, best-val-F1 model selection with superseded-checkpoint
+    deletion, final test on the best model;
+  * direct-eval (doEval) paths from converted torch checkpoints or orbax trees.
+
+TPU-first deltas (each an explicit choice, not an accident):
+  * gradient accumulation is realized as one larger device batch
+    (trg_batch_size * trg_accumulation_steps utterances per step) — numerically
+    the same mean-gradient as the reference's 4-step accumulation of bs=1
+    microbatches, with scheduler total-steps arithmetic preserved
+    (reference train.py:309: epochs * len(loader) / accum);
+  * face preprocessing/augmentation runs batched on device
+    (data/image_pipeline.py) between loader and step;
+  * eval keeps the reference's SAMPLED gumbel at eval time behind a seeded
+    PRNG unless cfg.runtime.deterministic_gumbel (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facialmmt_tpu.config import FacialMMTConfig
+from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+from facialmmt_tpu.data.image_pipeline import (affwild2_train_augment,
+                                               meld_face_eval_transform,
+                                               meld_face_train_augment)
+from facialmmt_tpu.data.loader import PrefetchLoader
+from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+from facialmmt_tpu.models.unimodal import MeldUttTransformer
+from facialmmt_tpu.train.metrics import eval_meld
+from facialmmt_tpu.train.optim import (MultiTaskState, SingleTaskState,
+                                       make_optimizer)
+from facialmmt_tpu.train.steps import (make_aux_train_step,
+                                       make_multimodal_eval_step,
+                                       make_multimodal_train_step,
+                                       make_unimodal_eval_step,
+                                       make_unimodal_train_step)
+from facialmmt_tpu.utils.observability import MetricWriter, StepTimer
+
+
+class Trainer:
+    def __init__(self, cfg: FacialMMTConfig,
+                 writer: Optional[MetricWriter] = None):
+        self.cfg = cfg
+        self.writer = writer or MetricWriter(cfg.runtime.metrics_path)
+        self.dtype = (jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16"
+                      else jnp.float32)
+        self.rng = jax.random.PRNGKey(cfg.runtime.seed)
+
+    def _next_rng(self):
+        self.rng, out = jax.random.split(self.rng)
+        return out
+
+    # ------------------------------------------------------------ unimodal --
+
+    def run_unimodal(self, train_ds, valid_ds, test_ds) -> float:
+        """V-only training (reference train.py:245-292, 342-349, 390-409)."""
+        cfg = self.cfg
+        opt = cfg.optim
+        model = MeldUttTransformer(cfg, dtype=self.dtype)
+        bsz = opt.trg_batch_size * opt.trg_accumulation_steps
+        loader = PrefetchLoader(train_ds.get_batch, len(train_ds), bsz,
+                                shuffle=True, seed=cfg.runtime.seed)
+        steps_per_epoch = len(loader)
+        total_steps = opt.num_epochs * steps_per_epoch
+        tx = make_optimizer(opt, opt.trg_lr, total_steps, opt.weight_decay)
+
+        sample = train_ds.get_batch([0])
+        params = model.init(self._next_rng(), jnp.asarray(sample["feats"]),
+                            jnp.asarray(sample["mask"]))["params"]
+        state = SingleTaskState.create(params, tx)
+        train_step = jax.jit(make_unimodal_train_step(model, tx))
+        eval_step = jax.jit(make_unimodal_eval_step(model))
+
+        ckpt = CheckpointManager(cfg.runtime.save_model_path)
+        # reference starts best at 0 with a strict '>' (train.py:352) and would
+        # crash at test time if val F1 never exceeds 0; -1 makes epoch 1 always save
+        best_f1, best_step = -1.0, -1
+        for epoch in range(1, opt.num_epochs + 1):
+            timer = StepTimer()
+            start = time.time()
+            for i, (batch, n_valid) in enumerate(loader.epoch(epoch)):
+                state, loss = train_step(
+                    state, jnp.asarray(batch["feats"]),
+                    jnp.asarray(batch["mask"]),
+                    jnp.asarray(batch["labels"]), self._next_rng())
+                timer.update(float(loss), n_valid)
+                if i % cfg.runtime.trg_log_interval == 0 and i > 0:
+                    ms, avg = timer.interval_stats(cfg.runtime.trg_log_interval)
+                    self.writer.log_train("TRG", epoch, i, steps_per_epoch,
+                                          ms, avg)
+                    timer.reset()
+            logits, labels = self._eval_unimodal(eval_step, state.params,
+                                                 valid_ds)
+            val_f1 = eval_meld(logits, labels, test=False)
+            self.writer.log_eval(epoch, (time.time() - start) / 3600, val_f1)
+            if val_f1 > best_f1:
+                best_f1, best_step = val_f1, epoch
+                ckpt.save_best({"params": state.params}, epoch)
+
+        best = ckpt.restore_best({"params": state.params})
+        logits, labels = self._eval_unimodal(eval_step, best["params"], test_ds)
+        test_f1 = eval_meld(logits, labels, test=True)
+        self.writer.log_test(test_f1)
+        return test_f1
+
+    def eval_unimodal_only(self, params, test_ds) -> float:
+        """doEval path (reference train.py:431-434)."""
+        model = MeldUttTransformer(self.cfg, dtype=self.dtype)
+        eval_step = jax.jit(make_unimodal_eval_step(model))
+        logits, labels = self._eval_unimodal(eval_step, params, test_ds)
+        test_f1 = eval_meld(logits, labels, test=True)
+        self.writer.log_test(test_f1)
+        return test_f1
+
+    def _eval_unimodal(self, eval_step, params, ds, batch_size: int = 64):
+        loader = PrefetchLoader(ds.get_batch, len(ds), batch_size,
+                                shuffle=False)
+        logits_all, labels_all = [], []
+        for batch, n_valid in loader.epoch(0):
+            logits, _ = eval_step(params, jnp.asarray(batch["feats"]),
+                                  jnp.asarray(batch["mask"]),
+                                  jnp.asarray(batch["labels"]))
+            logits_all.append(np.asarray(logits)[:n_valid])
+            labels_all.append(np.asarray(batch["labels"])[:n_valid])
+        return np.concatenate(logits_all), np.concatenate(labels_all)
+
+    # ----------------------------------------------------------- multimodal --
+
+    def _prepare_faces(self, batch: Dict[str, Any], train: bool):
+        """Device-side face pipeline: uint8 (N,160,160,3) -> normalized 224."""
+        faces = jnp.asarray(batch["faces_raw"], jnp.float32)
+        size = self.cfg.data.swin_img_size
+        if train:
+            out = meld_face_train_augment(self._next_rng(), faces,
+                                          img_size=size)
+        else:
+            out = meld_face_eval_transform(faces, img_size=size)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                        if k != "faces_raw"}
+        device_batch["faces"] = out.astype(self.dtype)
+        return device_batch
+
+    def _init_multitask_state(self, model, train_ds, aux_len, swin_variables):
+        cfg, opt = self.cfg, self.cfg.optim
+        trg_bsz = opt.trg_batch_size * opt.trg_accumulation_steps
+        steps_per_epoch = (len(train_ds) + trg_bsz - 1) // trg_bsz
+        mm_total = opt.num_epochs * steps_per_epoch
+        aux_steps = max((aux_len + opt.aux_batch_size - 1)
+                        // opt.aux_batch_size, 1)
+        aux_total = opt.num_epochs * aux_steps // max(
+            opt.aux_accumulation_steps, 1)
+        swin_tx = make_optimizer(opt, opt.aux_lr, max(aux_total, 1))
+        mm_tx = make_optimizer(opt, opt.trg_lr, max(mm_total, 1),
+                               opt.weight_decay)
+
+        sample = train_ds.get_batch([0] * trg_bsz,
+                                    face_capacity=self._face_capacity(trg_bsz))
+        batch = self._prepare_faces(sample, train=False)
+        variables = jax.jit(model.init)(
+            {"params": self._next_rng(), "gumbel": self._next_rng()}, batch)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        if swin_variables is not None:  # pretrained Ms-Celeb backbone
+            params = dict(params)
+            sw = jax.tree.map(lambda x: x, params["swin_model"])
+            sw["swin"] = swin_variables["params"]["swin"]
+            params["swin_model"] = sw
+            batch_stats = dict(batch_stats)
+            bs_sw = dict(batch_stats["swin_model"])
+            bs_sw["swin"] = swin_variables["batch_stats"]["swin"]
+            batch_stats["swin_model"] = bs_sw
+        state = MultiTaskState.create(params, batch_stats, swin_tx, mm_tx)
+        return state, swin_tx, mm_tx, steps_per_epoch, trg_bsz
+
+    def _face_capacity(self, batch_size: int) -> int:
+        """Static face-buffer capacity: avg ~8 faces/utt, rounded to 64."""
+        cap = batch_size * min(self.cfg.data.vision_utt_max_len, 12)
+        return max(64, (cap + 63) // 64 * 64)
+
+    def run_multimodal(self, aux_ds, train_ds, valid_ds, test_ds,
+                       pretrained_swin=None) -> float:
+        """T+A+V multi-task training (reference train.py:297-421)."""
+        cfg, opt = self.cfg, self.cfg.optim
+        model = FacialMMTPipeline(cfg, dtype=self.dtype)
+        state, swin_tx, mm_tx, steps_per_epoch, trg_bsz = \
+            self._init_multitask_state(model, train_ds, len(aux_ds),
+                                       pretrained_swin)
+        aux_step = jax.jit(make_aux_train_step(model, swin_tx))
+        trg_step = jax.jit(make_multimodal_train_step(model, swin_tx, mm_tx))
+        eval_step = jax.jit(make_multimodal_eval_step(
+            model, sample_gumbel=not cfg.runtime.deterministic_gumbel))
+
+        cap = self._face_capacity(trg_bsz)
+        trg_loader = PrefetchLoader(
+            lambda idx: train_ds.get_batch(idx, face_capacity=cap),
+            len(train_ds), trg_bsz, shuffle=True, seed=cfg.runtime.seed)
+        aux_loader = PrefetchLoader(
+            lambda idx: aux_ds.get_batch(idx), len(aux_ds),
+            opt.aux_batch_size, shuffle=True, seed=cfg.runtime.seed + 1)
+
+        ckpt = CheckpointManager(cfg.runtime.save_model_path)
+        best_f1 = -1.0  # see run_unimodal note on the reference's 0-init crash
+        for epoch in range(1, opt.num_epochs + 1):
+            # ---- auxiliary FER pass (reference train.py:356-363) ----
+            start = time.time()
+            timer = StepTimer()
+            for i, (ab, n_valid) in enumerate(aux_loader.epoch(epoch)):
+                images, labels = ab
+                images = affwild2_train_augment(
+                    self._next_rng(), jnp.asarray(images, jnp.float32),
+                    img_size=cfg.data.swin_img_size).astype(self.dtype)
+                state, loss = aux_step(state, images, jnp.asarray(labels),
+                                       self._next_rng())
+                timer.update(float(loss), n_valid)
+                if i % cfg.runtime.aux_log_interval == 0 and i > 0:
+                    ms, avg = timer.interval_stats(cfg.runtime.aux_log_interval)
+                    self.writer.log_train("SRC", epoch, i, len(aux_loader),
+                                          ms, avg)
+                    timer.reset()
+            print("-" * 50)
+            print(f"**SRC** | Epoch {epoch:2d} | Time "
+                  f"{(time.time() - start) / 3600:5.4f} hour")
+            print("-" * 50)
+
+            # ---- target multimodal pass (reference train.py:364-374) ----
+            start = time.time()
+            timer = StepTimer()
+            for i, (batch, n_valid) in enumerate(trg_loader.epoch(epoch)):
+                device_batch = self._prepare_faces(batch, train=True)
+                state, loss = trg_step(state, device_batch, self._next_rng())
+                timer.update(float(loss), n_valid)
+                if i % cfg.runtime.trg_log_interval == 0 and i > 0:
+                    ms, avg = timer.interval_stats(cfg.runtime.trg_log_interval)
+                    self.writer.log_train("TRG", epoch, i, steps_per_epoch,
+                                          ms, avg)
+                    timer.reset()
+            logits, labels = self._eval_multimodal(eval_step, state.params,
+                                                   state.batch_stats, valid_ds)
+            val_f1 = eval_meld(logits, labels, test=False)
+            self.writer.log_eval(epoch, (time.time() - start) / 3600, val_f1)
+            if val_f1 > best_f1:
+                best_f1 = val_f1
+                ckpt.save_best({"params": state.params,
+                                "batch_stats": state.batch_stats}, epoch)
+
+        best = ckpt.restore_best({"params": state.params,
+                                  "batch_stats": state.batch_stats})
+        logits, labels = self._eval_multimodal(
+            eval_step, best["params"], best["batch_stats"], test_ds)
+        test_f1 = eval_meld(logits, labels, test=True)
+        self.writer.log_test(test_f1)
+        return test_f1
+
+    def eval_multimodal_only(self, params, batch_stats, test_ds,
+                             batch_size: int = 16) -> float:
+        """doEval path from converted checkpoints (reference train.py:424-434)."""
+        cfg = self.cfg
+        model = FacialMMTPipeline(cfg, dtype=self.dtype)
+        eval_step = jax.jit(make_multimodal_eval_step(
+            model, sample_gumbel=not cfg.runtime.deterministic_gumbel))
+        logits, labels = self._eval_multimodal(eval_step, params, batch_stats,
+                                               test_ds, batch_size)
+        test_f1 = eval_meld(logits, labels, test=True)
+        self.writer.log_test(test_f1)
+        return test_f1
+
+    def _eval_multimodal(self, eval_step, params, batch_stats, ds,
+                         batch_size: int = 16):
+        cap = self._face_capacity(batch_size)
+        loader = PrefetchLoader(
+            lambda idx: ds.get_batch(idx, face_capacity=cap), len(ds),
+            batch_size, shuffle=False)
+        logits_all, labels_all = [], []
+        for batch, n_valid in loader.epoch(0):
+            device_batch = self._prepare_faces(batch, train=False)
+            logits, _ = eval_step(params, batch_stats, device_batch,
+                                  self._next_rng())
+            logits_all.append(np.asarray(logits)[:n_valid])
+            labels_all.append(np.asarray(batch["labels"])[:n_valid])
+        return np.concatenate(logits_all), np.concatenate(labels_all)
