@@ -165,6 +165,8 @@ class OptimConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-6         # transformers.AdamW default
+    patience: int = 0              # early stopping on val loss (appendix
+                                   # (Appendix)CCAC2023/train.py:114-152); 0 = off
 
 
 @dataclass(frozen=True)

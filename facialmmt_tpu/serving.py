@@ -1,0 +1,140 @@
+"""Fixed-latency batched serving path (BASELINE.json config 5: streaming
+video -> emotion demo).
+
+The reference has no serving story; its eval loop re-tokenizes and re-encodes
+per utterance with host round-trips (SURVEY.md §3.1).  This module compiles ONE
+fixed-shape inference executable up front (donated input buffers, bf16) and
+exposes a predict() that always runs that executable — constant latency
+regardless of request content, the TPU-native pattern for online serving.
+
+Variable-size requests are padded into the static shapes on host:
+  * up to `max_batch` utterances per call;
+  * up to `face_capacity` face crops, packed contiguously;
+  * missing modalities zero-masked.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facialmmt_tpu.config import FacialMMTConfig
+from facialmmt_tpu.data.image_pipeline import meld_face_eval_transform
+from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+
+
+class EmotionServer:
+    def __init__(self, cfg: FacialMMTConfig, variables: Dict[str, Any],
+                 max_batch: int = 8, face_capacity: int = 64,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.face_capacity = face_capacity
+        self.dtype = dtype
+        self.model = FacialMMTPipeline(cfg, dtype=dtype)
+        self.variables = variables
+        self._rng = jax.random.PRNGKey(cfg.runtime.seed)
+
+        raw = cfg.data
+        size = raw.swin_img_size
+
+        def infer(variables, batch, faces_raw, key):
+            faces = meld_face_eval_transform(
+                faces_raw.astype(jnp.float32), img_size=size)
+            full = dict(batch)
+            full["faces"] = faces.astype(dtype)
+            logits = self.model.apply(variables, full, rngs={"gumbel": key})
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._infer = jax.jit(infer)
+        self._template = self._zero_batch()
+        # warm the executable so first real request is steady-state
+        _ = self.predict_raw(self._template,
+                             np.zeros((face_capacity, 160, 160, 3), np.uint8))
+
+    def _zero_batch(self) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        d = cfg.data
+        b = self.max_batch
+        return {
+            "dia_input_ids": np.full((b, d.max_seq_length), 1, np.int32),
+            "dia_input_mask": np.zeros((b, d.max_seq_length), np.int32),
+            "dia_sep_mask": np.zeros((b, d.max_seq_length), np.int32),
+            "dia_idx": np.zeros(b, np.int32),
+            "utt_in_dia_idx": np.zeros(b, np.int32),
+            "audio_inputs": np.zeros((b, d.audio_utt_max_len,
+                                      d.audio_feat_dim), np.float32),
+            "audio_mask": np.zeros((b, d.audio_utt_max_len), np.int32),
+            "vision_feats": np.zeros((b, d.vision_utt_max_len,
+                                      d.vision_feat_dim), np.float32),
+            "n_faces": np.zeros(b, np.int32),
+            "face_utt_id": np.full(self.face_capacity, -1, np.int32),
+            "face_pos": np.zeros(self.face_capacity, np.int32),
+        }
+
+    def predict_raw(self, batch: Dict[str, np.ndarray],
+                    faces_raw: np.ndarray) -> np.ndarray:
+        """One fixed-shape inference call.  Returns (max_batch, num_labels)
+        emotion probability rows."""
+        self._rng, key = jax.random.split(self._rng)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        probs = self._infer(self.variables, device_batch,
+                            jnp.asarray(faces_raw), key)
+        return np.asarray(probs)
+
+    def predict(self, requests) -> list:
+        """requests: list (<= max_batch) of dicts with optional keys
+        {'audio' (La, da), 'vision' (Lv, dv), 'faces' (n, 160, 160, 3),
+         'input_ids', 'input_mask', 'sep_mask', 'utt_in_dia_idx'}.
+        Returns one probability vector per request."""
+        assert len(requests) <= self.max_batch
+        batch = self._zero_batch()
+        faces_raw = np.zeros((self.face_capacity, 160, 160, 3), np.uint8)
+        cursor = 0
+        for j, req in enumerate(requests):
+            if "input_ids" in req:
+                ids = np.asarray(req["input_ids"])
+                batch["dia_input_ids"][j, :len(ids)] = ids
+                batch["dia_input_mask"][j, :len(ids)] = 1
+                sep = np.asarray(req.get("sep_mask", []))
+                batch["dia_sep_mask"][j, :len(sep)] = sep
+                batch["utt_in_dia_idx"][j] = req.get("utt_in_dia_idx", 0)
+            batch["dia_idx"][j] = j
+            if "audio" in req:
+                a = np.asarray(req["audio"], np.float32)
+                la = min(a.shape[0], batch["audio_inputs"].shape[1])
+                batch["audio_inputs"][j, :la] = a[:la]
+                batch["audio_mask"][j, :la] = 1
+            if "vision" in req:
+                v = np.asarray(req["vision"], np.float32)
+                lv = min(v.shape[0], batch["vision_feats"].shape[1])
+                batch["vision_feats"][j, :lv] = v[:lv]
+            faces = req.get("faces")
+            if faces is not None:
+                take = min(len(faces), self.face_capacity - cursor,
+                           self.cfg.data.vision_utt_max_len)
+                for t in range(take):
+                    faces_raw[cursor] = faces[t]
+                    batch["face_utt_id"][cursor] = j
+                    batch["face_pos"][cursor] = t
+                    cursor += 1
+                batch["n_faces"][j] = take
+        probs = self.predict_raw(batch, faces_raw)
+        return [probs[j] for j in range(len(requests))]
+
+    def benchmark_latency(self, iters: int = 20) -> Dict[str, float]:
+        batch = self._zero_batch()
+        faces = np.zeros((self.face_capacity, 160, 160, 3), np.uint8)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            self.predict_raw(batch, faces)
+            times.append(time.perf_counter() - t0)
+        arr = np.asarray(times) * 1000
+        return {"p50_ms": float(np.percentile(arr, 50)),
+                "p99_ms": float(np.percentile(arr, 99)),
+                "mean_ms": float(arr.mean())}

@@ -209,6 +209,8 @@ class Trainer:
 
         ckpt = CheckpointManager(cfg.runtime.save_model_path)
         best_f1 = -1.0  # see run_unimodal note on the reference's 0-init crash
+        best_val_loss = float("inf")  # early stopping (appendix train.py:114-152)
+        patience_counter = 0
         for epoch in range(1, opt.num_epochs + 1):
             # ---- auxiliary FER pass (reference train.py:356-363) ----
             start = time.time()
@@ -243,14 +245,25 @@ class Trainer:
                     self.writer.log_train("TRG", epoch, i, steps_per_epoch,
                                           ms, avg)
                     timer.reset()
-            logits, labels = self._eval_multimodal(eval_step, state.params,
-                                                   state.batch_stats, valid_ds)
+            logits, labels, val_loss = self._eval_multimodal(
+                eval_step, state.params, state.batch_stats, valid_ds,
+                return_loss=True)
             val_f1 = eval_meld(logits, labels, test=False)
             self.writer.log_eval(epoch, (time.time() - start) / 3600, val_f1)
             if val_f1 > best_f1:
                 best_f1 = val_f1
                 ckpt.save_best({"params": state.params,
                                 "batch_stats": state.batch_stats}, epoch)
+            if opt.patience > 0:  # appendix early stopping on val loss
+                if val_loss < best_val_loss:
+                    best_val_loss = val_loss
+                    patience_counter = 0
+                else:
+                    patience_counter += 1
+                    if patience_counter >= opt.patience:
+                        print(f"Validation loss has not descended for "
+                              f"{opt.patience} epochs. Stopping training.")
+                        break
 
         best = ckpt.restore_best({"params": state.params,
                                   "batch_stats": state.batch_stats})
@@ -274,16 +287,23 @@ class Trainer:
         return test_f1
 
     def _eval_multimodal(self, eval_step, params, batch_stats, ds,
-                         batch_size: int = 16):
+                         batch_size: int = 16, return_loss: bool = False):
         cap = self._face_capacity(batch_size)
         loader = PrefetchLoader(
             lambda idx: ds.get_batch(idx, face_capacity=cap), len(ds),
             batch_size, shuffle=False)
         logits_all, labels_all = [], []
+        loss_sum, n_sum = 0.0, 0
         for batch, n_valid in loader.epoch(0):
             device_batch = self._prepare_faces(batch, train=False)
-            logits, _ = eval_step(params, batch_stats, device_batch,
-                                  self._next_rng())
+            logits, loss = eval_step(params, batch_stats, device_batch,
+                                     self._next_rng())
+            loss_sum += float(loss) * n_valid
+            n_sum += n_valid
             logits_all.append(np.asarray(logits)[:n_valid])
             labels_all.append(np.asarray(batch["labels"])[:n_valid])
-        return np.concatenate(logits_all), np.concatenate(labels_all)
+        logits_cat = np.concatenate(logits_all)
+        labels_cat = np.concatenate(labels_all)
+        if return_loss:
+            return logits_cat, labels_cat, loss_sum / max(n_sum, 1)
+        return logits_cat, labels_cat
