@@ -34,26 +34,37 @@ def main():
     cfg = FacialMMTConfig()
     model = FacialMMTPipeline(cfg, dtype=jnp.bfloat16)
 
-    batch_size = 16
-    batch = _make_batch(cfg, b=batch_size)
+    # MELD test-set structure: ~9.3 utterances/dialogue (2610 utts / 280
+    # dialogues), ~8 face crops per utterance.  The batch carries the unique
+    # dialogues once (encode-once-gather-many) exactly as the real loader does.
+    batch_size = 32
+    batch = _make_batch(cfg, b=batch_size, utts_per_dia=8, faces_per_utt=8)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
         batch)
 
     @jax.jit
-    def eval_step(variables, batch, key):
-        return model.apply(variables, batch, rngs={"gumbel": key})
+    def eval_step(variables, batch, key, carry):
+        # carry folds the previous step's logits into this step's audio input:
+        # a true data dependency that serializes steps, so the one host
+        # readback at the end forces ALL device work to have completed.
+        # (block_until_ready does not synchronize on the axon tunnel backend.)
+        b = dict(batch)
+        b["audio_inputs"] = b["audio_inputs"] + carry * 1e-9
+        logits = model.apply(variables, b, rngs={"gumbel": key})
+        return logits, jnp.sum(logits).astype(jnp.float32)
 
     key = jax.random.PRNGKey(2)
     # warmup / compile
-    out = eval_step(variables, batch, key)
-    out.block_until_ready()
+    logits, carry = eval_step(variables, batch, key, jnp.float32(0))
+    float(carry)  # host readback = real sync
 
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        out = eval_step(variables, batch, jax.random.fold_in(key, i))
-    out.block_until_ready()
+        logits, carry = eval_step(variables, batch,
+                                  jax.random.fold_in(key, i), carry)
+    float(carry)  # forces the whole chain
     dt = time.perf_counter() - t0
 
     utt_per_sec = batch_size * iters / dt

@@ -173,11 +173,10 @@ def convert_swin_backbone(sd, prefix: str, cfg: FacialMMTConfig):
     p = prefix + "." if prefix else ""
     params: Dict[str, Any] = {
         "patch_embed": {
-            "proj": {
-                "kernel": np.ascontiguousarray(
-                    sd[f"{p}patch_embed.proj.weight"].transpose(2, 3, 1, 0)),
-                "bias": sd[f"{p}patch_embed.proj.bias"],
-            },
+            # torch conv weight (E, C, p, p) -> patch-matmul kernel (p, p, C, E)
+            "proj_kernel": np.ascontiguousarray(
+                sd[f"{p}patch_embed.proj.weight"].transpose(2, 3, 1, 0)),
+            "proj_bias": sd[f"{p}patch_embed.proj.bias"],
         },
     }
     if sw.patch_norm:

@@ -98,6 +98,9 @@ class TextEncoderConfig:
     layer_norm_eps: float = 1e-5        # roberta 1e-5; bert 1e-12
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    fused_attention: str = "auto"       # 'auto' | 'on' | 'off' — Pallas fused
+                                        # attention kernel (ops/pallas/attention.py);
+                                        # auto = on when running on TPU
 
     @staticmethod
     def roberta_large() -> "TextEncoderConfig":

@@ -50,13 +50,30 @@ class TextEncoderLayer(nn.Module):
         q = TorchLinear(h, dtype=self.dtype, name="query")(x).reshape(b, s, nh, hd)
         k = TorchLinear(h, dtype=self.dtype, name="key")(x).reshape(b, s, nh, hd)
         v = TorchLinear(h, dtype=self.dtype, name="value")(x).reshape(b, s, nh, hd)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32)) + bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
-            probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h)
+
+        use_fused = (cfg.fused_attention == "on" or
+                     (cfg.fused_attention == "auto"
+                      and jax.default_backend() == "tpu"))
+        # dropout on attention probs isn't expressible inside the fused kernel;
+        # train mode (attn dropout active) falls back to the XLA path
+        if use_fused and (deterministic or
+                          cfg.attention_probs_dropout_prob == 0.0):
+            from facialmmt_tpu.ops.pallas.attention import fused_attention
+
+            scale = 1.0 / jnp.sqrt(jnp.asarray(hd, x.dtype))
+            ctx = fused_attention(
+                (q * scale).transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                bias[:, 0, 0, :])
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32)) + bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, h)
 
         attn_out = TorchLinear(h, dtype=self.dtype, name="attn_out")(ctx)
         attn_out = nn.Dropout(cfg.hidden_dropout_prob)(

@@ -119,6 +119,11 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    # Pallas fused window attention (ops/pallas/window_attention.py): wins
+    # ~20% on isolated stage-0 shapes but measured net-slower inside the full
+    # backbone (serial per-window loop pipelines worse than XLA's batched
+    # matmul) — default off; kept for shapes/backends where it wins.
+    fused: str = "off"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -134,26 +139,40 @@ class WindowAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         scale = hd ** -0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)
-
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window_size - 1) ** 2, nh), jnp.float32)
         idx = jnp.asarray(relative_position_index(self.window_size))
         bias = table[idx.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
-        attn = attn + bias[None]
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, nh, n, n)
-            attn = attn + mask.astype(attn.dtype)[None, :, None]
-            attn = attn.reshape(b_, nh, n, n)
+        use_fused = (self.fused == "on" or
+                     (self.fused == "auto" and jax.default_backend() == "tpu"))
+        if use_fused and (deterministic or self.attn_drop == 0.0):
+            # combined (nW, h, N, N) additive bias for the Pallas kernel
+            from facialmmt_tpu.ops.pallas.window_attention import \
+                fused_window_attention
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b_, n, c)
+            if mask is not None:
+                full_bias = bias[None] + mask.astype(jnp.float32)[:, None]
+            else:
+                full_bias = bias[None]
+            out = fused_window_attention(
+                (q * scale).transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), full_bias)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b_ // nw, nw, nh, n, n)
+                attn = attn + mask.astype(attn.dtype)[None, :, None]
+                attn = attn.reshape(b_, nh, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b_, n, c)
         out = SwinLinear(c, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
@@ -246,13 +265,27 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        # x: (B, H, W, C) channel-last (TPU-native layout; NCHW inputs are
-        # transposed at the model boundary)
-        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-                    dtype=self.dtype, name="proj")(x)
-        b, ph, pw, c = x.shape
-        x = x.reshape(b, ph * pw, c)
+        p = cfg.patch_size
+        b, h, w, c_in = x.shape
+        # The 4x4/s4 "conv" is really a non-overlapping patch matmul.  XLA's
+        # conv path pads the 3 input channels to the 8-lane minimum and runs
+        # poorly; reshaping to (B, Ph*Pw, p*p*C) @ (p*p*C, E) hits the MXU as
+        # one clean matmul.  The kernel keeps conv layout (p, p, C, E) so torch
+        # checkpoints map unchanged (torch_convert.py).
+        kernel = self.param(
+            "proj_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (p, p, c_in, cfg.embed_dim), jnp.float32)
+        bias = self.param("proj_bias", nn.initializers.zeros,
+                          (cfg.embed_dim,), jnp.float32)
+        dtype = self.dtype or x.dtype
+        ph, pw = h // p, w // p
+        patches = x.reshape(b, ph, p, pw, p, c_in)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, ph * pw, p * p * c_in)
+        k2d = kernel.reshape(p * p * c_in, cfg.embed_dim)
+        x = jnp.dot(patches.astype(dtype), k2d.astype(dtype),
+                    preferred_element_type=dtype) + bias.astype(dtype)
         if cfg.patch_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return x

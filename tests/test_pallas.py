@@ -1,0 +1,78 @@
+"""Pallas kernel numerics (interpret mode on CPU; compiled path exercised on
+TPU by bench.py / the real pipeline)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facialmmt_tpu.ops.pallas.attention import (_reference_attention,
+                                                fused_attention)
+from facialmmt_tpu.ops.pallas.window_attention import (_reference,
+                                                       fused_window_attention)
+
+
+def test_fused_attention_matches_reference(rng):
+    b, h, s, d = 2, 4, 64, 32
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    bias = jnp.asarray(
+        np.where(rng.random((b, s)) > 0.2, 0, -1e9).astype(np.float32))
+    got = fused_attention(q, k, v, bias, True)
+    want = _reference_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_attention_grads_match(rng):
+    b, h, s, d = 1, 2, 16, 8
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    bias = jnp.zeros((b, s))
+    g1 = jax.grad(lambda q: fused_attention(q, k, v, bias, True).sum())(q)
+    g2 = jax.grad(lambda q: _reference_attention(q, k, v, bias).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_window_attention_matches_reference(rng):
+    w, h, n, hd, nw = 8, 3, 49, 32, 4
+    q = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nw, h, n, n)).astype(np.float32))
+    got = fused_window_attention(q, k, v, bias, 4, True)
+    want = _reference(q, k, v, bias.astype(jnp.bfloat16).astype(jnp.float32))
+    # kernel stores bias in bf16; compare against the bf16-bias reference
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_fused_window_attention_bias_indexing(rng):
+    """Window wi must use bias row wi % nW."""
+    w, h, n, hd, nw = 4, 1, 49, 32, 2
+    q = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    # huge bias on row 1 masks everything except the first key
+    bias = np.zeros((nw, h, n, n), np.float32)
+    bias[1, :, :, 1:] = -1e9
+    got = np.asarray(fused_window_attention(q, k, v, jnp.asarray(bias), 2,
+                                            True))
+    # windows 1 and 3 use bias row 1 => output rows equal v[:, :, 0]
+    np.testing.assert_allclose(got[1, 0, 5], np.asarray(v)[1, 0, 0], rtol=1e-4)
+    np.testing.assert_allclose(got[3, 0, 7], np.asarray(v)[3, 0, 0], rtol=1e-4)
+
+
+def test_auto_group_fits_budget():
+    from facialmmt_tpu.ops.pallas.window_attention import (_auto_group,
+                                                           _padded_bytes)
+
+    for (w, h, nw) in [(16384, 3, 64), (4096, 6, 16), (1024, 12, 4),
+                       (256, 24, 1)]:
+        g = _auto_group(w, h, 49, 32, nw)
+        assert w % g == 0 and g >= 1
+        n_p = 64
+        bias = nw * h * n_p * 128 * 2 * 2
+        assert 4 * 2 * _padded_bytes(g, h, 49, 32, 2) + bias <= 10 * 1024 * 1024
