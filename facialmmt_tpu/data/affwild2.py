@@ -70,19 +70,27 @@ class AffwildDataset:
     def get_batch(self, indices: Sequence[int]):
         """Decoded uint8 images (B, img_size, img_size, 3) + int32 labels.
         BGR order preserved (reference cv2.imread + 'RGB' wrap,
-        utils/dataset.py:112-113)."""
+        utils/dataset.py:112-113).  Native C++ thread-pool decode with
+        per-image cv2 fallback."""
+        idx = list(indices)
+        labels = np.asarray([self.data_list[i][1] for i in idx], np.int32)
+        paths = [os.path.join(self.file_folder, self.data_list[i][0])
+                 for i in idx]
+
+        from facialmmt_tpu.native import decode_resize_batch
+
+        native = decode_resize_batch(paths, self.img_size)
+        if native is not None:
+            return native, labels
+
         import cv2
 
-        idx = list(indices)
         images = np.zeros((len(idx), self.img_size, self.img_size, 3), np.uint8)
-        labels = np.zeros(len(idx), np.int32)
-        for j, i in enumerate(idx):
-            rel, label = self.data_list[i]
-            im = cv2.imread(os.path.join(self.file_folder, rel))
+        for j, p in enumerate(paths):
+            im = cv2.imread(p)
             if im is not None:
                 if im.shape[:2] != (self.img_size, self.img_size):
                     im = cv2.resize(im, (self.img_size, self.img_size),
                                     interpolation=cv2.INTER_AREA)
                 images[j] = im
-            labels[j] = label
         return images, labels

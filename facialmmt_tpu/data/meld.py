@@ -131,12 +131,22 @@ class MeldMultimodalDataset:
     def _decode_faces(self, paths: List[str]) -> np.ndarray:
         """Host-side decode only.  BGR order preserved (see module docstring);
         odd-sized crops are host-resized to the canonical 160 so the device
-        pipeline sees one static shape."""
+        pipeline sees one static shape.
+
+        Fast path: the native C++ thread-pool loader (facialmmt_tpu/native);
+        falls back to per-image cv2 when the toolchain is unavailable."""
+        full = [os.path.join(self.face_root, r) if self.face_root else r
+                for r in paths]
+        from facialmmt_tpu.native import decode_resize_batch
+
+        native = decode_resize_batch(full, RAW_FACE_SIZE)
+        if native is not None:
+            return native
+
         import cv2
 
         out = np.zeros((len(paths), RAW_FACE_SIZE, RAW_FACE_SIZE, 3), np.uint8)
-        for i, rel in enumerate(paths):
-            p = os.path.join(self.face_root, rel) if self.face_root else rel
+        for i, p in enumerate(full):
             im = cv2.imread(p)
             if im is None:
                 continue
