@@ -229,3 +229,68 @@ class MeldMultimodalDataset:
             "face_pos": face_pos,
             "labels": self.labels[idx].astype(np.int32),
         }
+
+
+class MeldDialogueDataset:
+    """Dialogue-level batching (appendix A6, reference
+    (Appendix)CCAC2023/utils/dataset.py:154-302).
+
+    The appendix consumes precomputed (num_dia, max_dia_len, max_utt_len, dim)
+    pickles; here dialogues are assembled by grouping the utterance-level
+    arrays via utt_profile — same batch layout, one data format.  One sample =
+    one dialogue: audio/vision (D, L, feat), dia_mask (D,), labels (D,).
+    """
+
+    def __init__(self, base: MeldMultimodalDataset, max_dia_len: int = 0):
+        self.base = base
+        # dialogue -> ordered utterance indices
+        groups: Dict[int, List[int]] = {}
+        for idx_str, prof in base.utt_profile.items():
+            _, _, dia_i, _, utt_pos = prof
+            groups.setdefault(dia_i, {})[utt_pos] = int(idx_str)
+        self.dialogues = [
+            [groups[d][p] for p in sorted(groups[d])]
+            for d in sorted(groups)
+        ]
+        self.max_dia_len = max_dia_len or max(len(d) for d in self.dialogues)
+        # map dialogue order -> text array row (dia_idx from the profile)
+        self.dia_rows = sorted(groups)
+
+    def __len__(self):
+        return len(self.dialogues)
+
+    def get_batch(self, indices: Sequence[int]):
+        idx = list(indices)
+        b = len(idx)
+        d_max = self.max_dia_len
+        la, da = self.base.audio.shape[1:]
+        lv, dv = self.base.vision.shape[1:]
+
+        audio = np.zeros((b, d_max, la, da), np.float32)
+        audio_mask = np.zeros((b, d_max, la), np.int32)
+        vision = np.zeros((b, d_max, lv, dv), np.float32)
+        vision_mask = np.zeros((b, d_max, lv), np.int32)
+        dia_mask = np.zeros((b, d_max), np.int32)
+        labels = np.zeros((b, d_max), np.int32)
+        for j, di in enumerate(idx):
+            utts = self.dialogues[di][:d_max]
+            n = len(utts)
+            audio[j, :n] = self.base.audio[utts]
+            audio_mask[j, :n] = self.base.audio_mask[utts]
+            vision[j, :n] = self.base.vision[utts]
+            vision_mask[j, :n] = self.base.vision_mask[utts]
+            dia_mask[j, :n] = 1
+            labels[j, :n] = self.base.labels[utts]
+
+        rows = [self.dia_rows[di] for di in idx]
+        return {
+            "dia_input_ids": self.base.text.input_ids[rows],
+            "dia_input_mask": self.base.text.input_mask[rows],
+            "dia_sep_mask": self.base.text.sep_mask[rows],
+            "audio_inputs": audio,
+            "audio_mask": audio_mask,
+            "vision_inputs": vision,
+            "vision_mask": vision_mask,
+            "dia_mask": dia_mask,
+            "labels": labels,
+        }

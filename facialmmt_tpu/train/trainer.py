@@ -62,8 +62,11 @@ class Trainer:
 
     # ------------------------------------------------------------ unimodal --
 
-    def run_unimodal(self, train_ds, valid_ds, test_ds) -> float:
-        """V-only training (reference train.py:245-292, 342-349, 390-409)."""
+    def run_unimodal(self, train_ds, valid_ds, test_ds,
+                     resume: bool = False) -> float:
+        """V-only training (reference train.py:245-292, 342-349, 390-409).
+        resume=True restarts from the latest epoch checkpoint (a capability the
+        reference lacks — SURVEY.md §5.3/§5.4)."""
         cfg = self.cfg
         opt = cfg.optim
         model = MeldUttTransformer(cfg, dtype=self.dtype)
@@ -85,7 +88,15 @@ class Trainer:
         # reference starts best at 0 with a strict '>' (train.py:352) and would
         # crash at test time if val F1 never exceeds 0; -1 makes epoch 1 always save
         best_f1, best_step = -1.0, -1
-        for epoch in range(1, opt.num_epochs + 1):
+        start_epoch = 1
+        if resume:
+            latest = ckpt.restore_latest(
+                {"state": state, "best_f1": best_f1, "epoch": 0})
+            if latest is not None:
+                state = jax.tree.map(jnp.asarray, latest["state"])
+                best_f1 = float(latest["best_f1"])
+                start_epoch = int(latest["epoch"]) + 1
+        for epoch in range(start_epoch, opt.num_epochs + 1):
             timer = StepTimer()
             start = time.time()
             for i, (batch, n_valid) in enumerate(loader.epoch(epoch)):
@@ -106,6 +117,8 @@ class Trainer:
             if val_f1 > best_f1:
                 best_f1, best_step = val_f1, epoch
                 ckpt.save_best({"params": state.params}, epoch)
+            ckpt.save_step({"state": state, "best_f1": best_f1,
+                            "epoch": epoch}, epoch)
 
         best = ckpt.restore_best({"params": state.params})
         logits, labels = self._eval_unimodal(eval_step, best["params"], test_ds)
@@ -187,8 +200,9 @@ class Trainer:
         return max(64, (cap + 63) // 64 * 64)
 
     def run_multimodal(self, aux_ds, train_ds, valid_ds, test_ds,
-                       pretrained_swin=None) -> float:
-        """T+A+V multi-task training (reference train.py:297-421)."""
+                       pretrained_swin=None, resume: bool = False) -> float:
+        """T+A+V multi-task training (reference train.py:297-421).
+        resume=True restarts from the latest epoch checkpoint."""
         cfg, opt = self.cfg, self.cfg.optim
         model = FacialMMTPipeline(cfg, dtype=self.dtype)
         state, swin_tx, mm_tx, steps_per_epoch, trg_bsz = \
@@ -211,7 +225,15 @@ class Trainer:
         best_f1 = -1.0  # see run_unimodal note on the reference's 0-init crash
         best_val_loss = float("inf")  # early stopping (appendix train.py:114-152)
         patience_counter = 0
-        for epoch in range(1, opt.num_epochs + 1):
+        start_epoch = 1
+        if resume:
+            latest = ckpt.restore_latest(
+                {"state": state, "best_f1": best_f1, "epoch": 0})
+            if latest is not None:
+                state = jax.tree.map(jnp.asarray, latest["state"])
+                best_f1 = float(latest["best_f1"])
+                start_epoch = int(latest["epoch"]) + 1
+        for epoch in range(start_epoch, opt.num_epochs + 1):
             # ---- auxiliary FER pass (reference train.py:356-363) ----
             start = time.time()
             timer = StepTimer()
@@ -254,6 +276,8 @@ class Trainer:
                 best_f1 = val_f1
                 ckpt.save_best({"params": state.params,
                                 "batch_stats": state.batch_stats}, epoch)
+            ckpt.save_step({"state": state, "best_f1": best_f1,
+                            "epoch": epoch}, epoch)
             if opt.patience > 0:  # appendix early stopping on val loss
                 if val_loss < best_val_loss:
                     best_val_loss = val_loss

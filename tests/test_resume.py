@@ -1,0 +1,126 @@
+"""Checkpoint/resume + dialogue-level dataset tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from facialmmt_tpu.config import FacialMMTConfig, OptimConfig, RuntimeConfig
+from tests.fixtures import WhitespaceTokenizer, write_meld_fixture
+
+
+def _cfg(tmp_path, num_epochs):
+    cfg = FacialMMTConfig.tiny()
+    return cfg.replace(
+        optim=OptimConfig(num_epochs=num_epochs, trg_batch_size=4,
+                          trg_accumulation_steps=1, trg_lr=1e-3, warm_up=0.0),
+        runtime=RuntimeConfig(save_model_path=str(tmp_path / "saved"),
+                              compute_dtype="float32",
+                              metrics_path="", trg_log_interval=1000))
+
+
+def test_unimodal_resume_from_epoch_checkpoint(tmp_path, rng):
+    from facialmmt_tpu.data.meld import MeldVisionDataset
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+
+    for split in ("train", "val", "test"):
+        write_meld_fixture(str(tmp_path), split=split, seed=hash(split) % 50)
+    train_ds = MeldVisionDataset(str(tmp_path), "train")
+    valid_ds = MeldVisionDataset(str(tmp_path), "val")
+    test_ds = MeldVisionDataset(str(tmp_path), "test")
+
+    # adapt static dims to the fixture
+    import dataclasses
+
+    cfg = _cfg(tmp_path, 1)
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, vision_utt_max_len=train_ds.max_utt_len,
+        vision_feat_dim=train_ds.feat_dim))
+
+    t1 = Trainer(cfg, MetricWriter("", also_print=False))
+    t1.run_unimodal(train_ds, valid_ds, test_ds)
+    assert any(s.startswith("step_")
+               for s in os.listdir(tmp_path / "saved"))
+
+    # second run with 2 epochs resumes from epoch 1's checkpoint
+    cfg2 = cfg.replace(optim=dataclasses.replace(cfg.optim, num_epochs=2))
+    t2 = Trainer(cfg2, MetricWriter("", also_print=False))
+    wf1 = t2.run_unimodal(train_ds, valid_ds, test_ds, resume=True)
+    assert 0.0 <= wf1 <= 1.0
+    steps = [s for s in os.listdir(tmp_path / "saved")
+             if s.startswith("step_")]
+    assert "step_2" in steps  # epoch 2 ran after resume
+
+
+def test_dialogue_dataset_grouping(tmp_path, rng):
+    from facialmmt_tpu.data.meld import (MeldDialogueDataset,
+                                         MeldMultimodalDataset,
+                                         MeldTextArrays)
+    from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
+
+    fix = write_meld_fixture(str(tmp_path), split="test", num_dia=3,
+                             utts_per_dia=3)
+    tok = WhitespaceTokenizer()
+    prep = MeldTextPreprocessor(tok, is_roberta=True, max_seq_length=64)
+    feats = prep.preprocess_split(fix["csv"], fix["text_json"])
+    ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
+    base = MeldMultimodalDataset(str(tmp_path), "test",
+                                 MeldTextArrays(ids, mask, sep))
+    ds = MeldDialogueDataset(base)
+    assert len(ds) == 3
+    assert ds.max_dia_len == 3
+
+    batch = ds.get_batch([0, 2])
+    assert batch["audio_inputs"].shape[:2] == (2, 3)
+    assert batch["dia_mask"].shape == (2, 3)
+    np.testing.assert_array_equal(batch["dia_mask"], 1)  # full dialogues
+    # labels of dialogue 0 = utterances 0..2
+    np.testing.assert_array_equal(batch["labels"][0], fix["labels"][:3])
+    np.testing.assert_array_equal(batch["labels"][1], fix["labels"][6:9])
+    # audio rows match the utterance-level arrays
+    np.testing.assert_allclose(batch["audio_inputs"][0, 1],
+                               base.audio[1], rtol=1e-6)
+
+
+def test_dialogue_dataset_feeds_dialogue_model(tmp_path, rng):
+    """End-to-end: grouped batch -> DialogueMultiModalTransformer logits."""
+    import dataclasses
+    import jax
+
+    from facialmmt_tpu.data.meld import (MeldDialogueDataset,
+                                         MeldMultimodalDataset,
+                                         MeldTextArrays)
+    from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
+    from facialmmt_tpu.models.dialogue import DialogueMultiModalTransformer
+
+    fix = write_meld_fixture(str(tmp_path), split="test")
+    tok = WhitespaceTokenizer()
+    prep = MeldTextPreprocessor(tok, is_roberta=True, max_seq_length=64)
+    feats = prep.preprocess_split(fix["csv"], fix["text_json"])
+    ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
+    base = MeldMultimodalDataset(str(tmp_path), "test",
+                                 MeldTextArrays(ids, mask, sep))
+    ds = MeldDialogueDataset(base)
+    batch = ds.get_batch([0, 1])
+
+    cfg = FacialMMTConfig.tiny()
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, max_seq_length=64,
+        audio_utt_max_len=base.audio_max_utt_len,
+        vision_utt_max_len=base.vision_max_utt_len,
+        audio_feat_dim=base.audio_feat_dim,
+        vision_feat_dim=base.vision_feat_dim))
+    model = DialogueMultiModalTransformer(cfg)
+    args = (jnp.asarray(batch["dia_input_ids"]),
+            jnp.asarray(batch["dia_input_mask"]),
+            jnp.asarray(batch["dia_sep_mask"]),
+            jnp.asarray(batch["audio_inputs"]),
+            jnp.asarray(batch["audio_mask"]),
+            jnp.asarray(batch["vision_inputs"]),
+            jnp.asarray(batch["vision_mask"]),
+            jnp.asarray(batch["dia_mask"]))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    logits = model.apply(params, *args)
+    assert logits.shape == (2, ds.max_dia_len, 7)
+    assert np.isfinite(np.asarray(logits)).all()
