@@ -76,6 +76,28 @@ class SwinConfig:
         r = self.img_size // self.patch_size
         return (r, r)
 
+    @staticmethod
+    def from_yaml(path: str, backbone_type: str = "SwinTransformer"
+                  ) -> "SwinConfig":
+        """Load the reference's backbone config YAML (the BackboneFactory
+        equivalent — reference modules/SwinTransformer/backbone_def.py:8-53,
+        swin_conf.yaml:4-22)."""
+        import yaml
+
+        with open(path) as f:
+            conf = yaml.safe_load(f)[backbone_type]
+        return SwinConfig(
+            img_size=int(conf.get("img_size", 224)),
+            patch_size=int(conf.get("patch_size", 4)),
+            in_chans=int(conf.get("in_chans", 3)),
+            embed_dim=int(conf.get("embed_dim", 96)),
+            depths=tuple(conf.get("depths", (2, 2, 6, 2))),
+            num_heads=tuple(conf.get("num_heads", (3, 6, 12, 24))),
+            window_size=int(conf.get("window_size", 7)),
+            mlp_ratio=float(conf.get("mlp_ratio", 4.0)),
+            drop_rate=float(conf.get("drop_rate", 0.0)),
+            drop_path_rate=float(conf.get("drop_path_rate", 0.3)))
+
 
 @dataclass(frozen=True)
 class TextEncoderConfig:

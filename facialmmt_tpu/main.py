@@ -82,12 +82,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--load_swin_path", type=str, default="best_swin_RoBERTa.pt")
     p.add_argument("--pretrained_model_dir", type=str,
                    default="pretrained_model")
-    # TPU-native extensions
+    # appendix (CCAC2023/M3ED) capabilities
     p.add_argument("--modalityFuse", type=str, default="crossmodal",
                    choices=["crossmodal", "concat"])
+    p.add_argument("--uttORdia", type=str, default="utt",
+                   choices=["utt", "dia"])
+    p.add_argument("--patience", type=int, default=0,
+                   help="early stopping on val loss; 0 disables")
+    # TPU-native extensions
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--deterministic_gumbel", type=int, default=0)
+    p.add_argument("--debug_nans", type=int, default=0)
+    p.add_argument("--resume", type=int, default=0,
+                   help="resume from the latest epoch checkpoint")
     p.add_argument("--dp", type=int, default=-1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--metrics_path", type=str, default="metrics.jsonl")
@@ -128,7 +136,7 @@ def config_from_args(args) -> "FacialMMTConfig":
                         trg_batch_size=args.trg_batch_size,
                         aux_accumulation_steps=args.aux_accumulation_steps,
                         trg_accumulation_steps=args.trg_accumulation_steps,
-                        clip=args.clip)
+                        clip=args.clip, patience=args.patience)
     runtime = RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
                             deterministic_gumbel=bool(
                                 args.deterministic_gumbel),
@@ -143,7 +151,7 @@ def config_from_args(args) -> "FacialMMTConfig":
         facial_emo_impor_threshold=args.FacialEmoImpor_threshold,
         audio_utt_transformer_num=args.audio_utt_Transformernum,
         vision_utt_transformer_num=args.vision_utt_Transformernum,
-        modality_fuse=args.modalityFuse,
+        modality_fuse=args.modalityFuse, granularity=args.uttORdia,
         encoder=enc, crossmodal_ta=cm_ta, crossmodal_ta_v=cm_tav,
         data=data, optim=optim, runtime=runtime,
         parallel=ParallelConfig(dp=args.dp, tp=args.tp),
@@ -199,6 +207,10 @@ def run(argv=None) -> float:
     from facialmmt_tpu.train.trainer import Trainer
     from facialmmt_tpu.utils.observability import MetricWriter
 
+    if args.debug_nans:
+        from facialmmt_tpu.utils.observability import enable_nan_debugging
+
+        enable_nan_debugging()
     writer = MetricWriter(cfg.runtime.metrics_path)
     print("&" * 50)
 
@@ -250,6 +262,22 @@ def run(argv=None) -> float:
 
     test_ds = build_split("test")
     cfg = _adapt_static_shapes(cfg, test_ds)
+
+    if cfg.granularity == "dia":
+        # appendix dialogue-level path (--uttORdia dia)
+        from facialmmt_tpu.data.meld import MeldDialogueDataset
+        from facialmmt_tpu.train.trainer import DialogueTrainer
+
+        dia_trainer = DialogueTrainer(cfg, writer)
+        dia_test = MeldDialogueDataset(test_ds)
+        if cfg.do_eval:
+            raise NotImplementedError(
+                "dia-level doEval needs an orbax checkpoint dir; train first "
+                "with --uttORdia dia --doEval 0")
+        dia_train = MeldDialogueDataset(build_split("train"))
+        dia_valid = MeldDialogueDataset(build_split("val"))
+        return dia_trainer.run_dialogue(dia_train, dia_valid, dia_test)
+
     trainer = Trainer(cfg, writer)
     if cfg.do_eval:
         print("Evaluating on the test set directly...")
@@ -275,7 +303,7 @@ def run(argv=None) -> float:
         pretrained = convert_pretrained_swin_backbone(
             load_torch_state_dict(cfg.pretrained_backbone_path), cfg)
     return trainer.run_multimodal(aux_ds, train_ds, valid_ds, test_ds,
-                                  pretrained)
+                                  pretrained, resume=bool(args.resume))
 
 
 if __name__ == "__main__":

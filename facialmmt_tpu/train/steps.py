@@ -149,3 +149,50 @@ def make_unimodal_eval_step(model: MeldUttTransformer):
         return logits, cross_entropy(logits, labels)
 
     return step
+
+
+# ------------------------------------------------------- dialogue-level task --
+
+def masked_cross_entropy(logits, labels, mask):
+    """Mean CE over valid utterances only — equivalent to the reference's
+    masked_select + CE over (num_valid_utt, C) ((Appendix)CCAC2023 train loop)."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), labels)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def make_dialogue_train_step(model, tx):
+    """Train step for DialogueMultiModalTransformer (appendix dia-level)."""
+
+    def loss_fn(params, batch, rng):
+        logits = model.apply(
+            {"params": params}, batch["dia_input_ids"],
+            batch["dia_input_mask"], batch["dia_sep_mask"],
+            batch["audio_inputs"], batch["audio_mask"],
+            batch["vision_inputs"], batch["vision_mask"], batch["dia_mask"],
+            deterministic=False, rngs={"dropout": rng})
+        return masked_cross_entropy(logits, batch["labels"],
+                                    batch["dia_mask"])
+
+    def step(state: SingleTaskState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return SingleTaskState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def make_dialogue_eval_step(model):
+    def step(params, batch):
+        logits = model.apply(
+            {"params": params}, batch["dia_input_ids"],
+            batch["dia_input_mask"], batch["dia_sep_mask"],
+            batch["audio_inputs"], batch["audio_mask"],
+            batch["vision_inputs"], batch["vision_mask"], batch["dia_mask"])
+        loss = masked_cross_entropy(logits, batch["labels"],
+                                    batch["dia_mask"])
+        return logits, loss
+
+    return step

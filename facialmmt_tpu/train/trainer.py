@@ -331,3 +331,87 @@ class Trainer:
         if return_loss:
             return logits_cat, labels_cat, loss_sum / max(n_sum, 1)
         return logits_cat, labels_cat
+
+
+class DialogueTrainer(Trainer):
+    """Dialogue-level experiment driver (appendix --uttORdia dia,
+    reference (Appendix)CCAC2023/train.py:100-152)."""
+
+    def run_dialogue(self, train_ds, valid_ds, test_ds,
+                     use_macro_f1: bool = True) -> float:
+        import jax as _jax
+
+        from facialmmt_tpu.models.dialogue import DialogueMultiModalTransformer
+        from facialmmt_tpu.train.metrics import macro_f1, weighted_f1
+        from facialmmt_tpu.train.steps import (make_dialogue_eval_step,
+                                               make_dialogue_train_step)
+
+        cfg, opt = self.cfg, self.cfg.optim
+        model = DialogueMultiModalTransformer(cfg, dtype=self.dtype)
+        bsz = max(opt.trg_batch_size, 1)
+        loader = PrefetchLoader(train_ds.get_batch, len(train_ds), bsz,
+                                shuffle=True, seed=cfg.runtime.seed)
+        total = max(opt.num_epochs * len(loader), 1)
+        tx = make_optimizer(opt, opt.trg_lr, total, opt.weight_decay)
+
+        sample = {k: jnp.asarray(v)
+                  for k, v in train_ds.get_batch([0] * bsz).items()}
+        params = _jax.jit(model.init, static_argnames=())(
+            self._next_rng(), sample["dia_input_ids"],
+            sample["dia_input_mask"], sample["dia_sep_mask"],
+            sample["audio_inputs"], sample["audio_mask"],
+            sample["vision_inputs"], sample["vision_mask"],
+            sample["dia_mask"])["params"]
+        state = SingleTaskState.create(params, tx)
+        train_step = _jax.jit(make_dialogue_train_step(model, tx))
+        eval_step = _jax.jit(make_dialogue_eval_step(model))
+
+        def evaluate(params, ds):
+            l = PrefetchLoader(ds.get_batch, len(ds), bsz, shuffle=False)
+            preds, trues = [], []
+            loss_sum, n_sum = 0.0, 0
+            for batch, n_valid in l.epoch(0):
+                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                logits, loss = eval_step(params, device_batch)
+                logits = np.asarray(logits)[:n_valid]
+                mask = np.asarray(batch["dia_mask"])[:n_valid].astype(bool)
+                labels = np.asarray(batch["labels"])[:n_valid]
+                preds.append(logits[mask].argmax(-1))
+                trues.append(labels[mask])
+                loss_sum += float(loss) * n_valid
+                n_sum += n_valid
+            return (np.concatenate(preds), np.concatenate(trues),
+                    loss_sum / max(n_sum, 1))
+
+        metric = macro_f1 if use_macro_f1 else weighted_f1
+        ckpt = CheckpointManager(cfg.runtime.save_model_path)
+        best_f1 = -1.0
+        best_val_loss = float("inf")
+        patience_counter = 0
+        for epoch in range(1, opt.num_epochs + 1):
+            for batch, _ in loader.epoch(epoch):
+                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, loss = train_step(state, device_batch,
+                                         self._next_rng())
+            preds, trues, val_loss = evaluate(state.params, valid_ds)
+            val_f1 = metric(trues, preds)
+            self.writer.log_eval(epoch, 0.0, val_f1)
+            if val_f1 > best_f1:
+                best_f1 = val_f1
+                ckpt.save_best({"params": state.params}, epoch)
+            if opt.patience > 0:
+                if val_loss < best_val_loss:
+                    best_val_loss = val_loss
+                    patience_counter = 0
+                else:
+                    patience_counter += 1
+                    if patience_counter >= opt.patience:
+                        print(f"Validation loss has not descended for "
+                              f"{opt.patience} epochs. Stopping training.")
+                        break
+
+        best = ckpt.restore_best({"params": state.params})
+        preds, trues, _ = evaluate(best["params"], test_ds)
+        test_f1 = metric(trues, preds)
+        self.writer.log_test(test_f1)
+        return test_f1

@@ -215,3 +215,27 @@ def test_prefetch_loader_propagates_errors():
     loader = PrefetchLoader(boom, 4, 2, shuffle=False)
     with pytest.raises(RuntimeError, match="decode failed"):
         list(loader.epoch(0))
+
+
+def test_swin_config_from_yaml(tmp_path):
+    """BackboneFactory-equivalent YAML parsing (reference backbone_def.py:8-53)."""
+    from facialmmt_tpu.config import SwinConfig
+
+    y = tmp_path / "conf.yaml"
+    y.write_text("""
+SwinTransformer:
+    img_size: 224
+    patch_size: 4
+    in_chans: 3
+    embed_dim: 96
+    depths: [2, 2, 6, 2]
+    num_heads: [3, 6, 12, 24]
+    window_size: 7
+    mlp_ratio: 4.0
+    drop_rate: 0.0
+    drop_path_rate: 0.3
+""")
+    cfg = SwinConfig.from_yaml(str(y))
+    assert cfg.depths == (2, 2, 6, 2)
+    assert cfg.num_heads == (3, 6, 12, 24)
+    assert cfg.drop_path_rate == 0.3

@@ -124,3 +124,43 @@ def test_dialogue_dataset_feeds_dialogue_model(tmp_path, rng):
     logits = model.apply(params, *args)
     assert logits.shape == (2, ds.max_dia_len, 7)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_dialogue_trainer_end_to_end(tmp_path, rng):
+    """Full dia-level training run (appendix --uttORdia dia) on fixtures."""
+    import dataclasses
+
+    from facialmmt_tpu.data.meld import (MeldDialogueDataset,
+                                         MeldMultimodalDataset,
+                                         MeldTextArrays)
+    from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
+    from facialmmt_tpu.train.trainer import DialogueTrainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+
+    tok = WhitespaceTokenizer()
+    prep = MeldTextPreprocessor(tok, is_roberta=True, max_seq_length=64)
+
+    def build(split):
+        fix = write_meld_fixture(str(tmp_path), split=split,
+                                 seed=hash(split) % 50)
+        feats = prep.preprocess_split(
+            str(tmp_path / f"{split}_sent_emo.csv"),
+            str(tmp_path / f"{split}_text.json"))
+        ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
+        base = MeldMultimodalDataset(str(tmp_path), split,
+                                     MeldTextArrays(ids, mask, sep))
+        return MeldDialogueDataset(base)
+
+    train_ds, valid_ds, test_ds = build("train"), build("val"), build("test")
+    cfg = _cfg(tmp_path, 1)
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, max_seq_length=64,
+            audio_utt_max_len=train_ds.base.audio_max_utt_len,
+            vision_utt_max_len=train_ds.base.vision_max_utt_len,
+            audio_feat_dim=train_ds.base.audio_feat_dim,
+            vision_feat_dim=train_ds.base.vision_feat_dim),
+        optim=dataclasses.replace(cfg.optim, trg_batch_size=2))
+    trainer = DialogueTrainer(cfg, MetricWriter("", also_print=False))
+    f1 = trainer.run_dialogue(train_ds, valid_ds, test_ds)
+    assert 0.0 <= f1 <= 1.0
