@@ -1,0 +1,43 @@
+"""Keep the driver-facing entry points green: multichip dryrun on the virtual
+CPU mesh, and the microbatch grad-accumulation helper."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    ge.dryrun_multichip(8)
+
+
+def test_accumulate_grads_equals_full_batch(rng):
+    from facialmmt_tpu.train.optim import accumulate_grads
+
+    w = {"w": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))}
+    x = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+
+    def loss_fn(params, batch):
+        xb, yb = batch
+        pred = xb @ params["w"]
+        return jnp.mean((pred - yb) ** 2)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    # microbatches of 2 along a leading axis of 4
+    micro = (x.reshape(4, 2, 4), y.reshape(4, 2, 3))
+    acc_grads, acc_loss = accumulate_grads(grad_fn, w, micro)
+    full_loss, full_grads = grad_fn(w, (x, y))
+    np.testing.assert_allclose(float(acc_loss), float(full_loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_grads["w"]),
+                               np.asarray(full_grads["w"]), rtol=1e-5)
