@@ -1,0 +1,86 @@
+"""Offline tools.
+
+convert-checkpoint: torch .pt (reference whole-module pickles or state dicts)
+  -> orbax checkpoint directory, so eval/serving never needs torch at runtime.
+
+    python -m facialmmt_tpu.tools convert-checkpoint \
+        --kind unimodal|multimodal|swin|swin_backbone \
+        --input pretrained_model/unimodal_model_V.pt --output ckpt/unimodal
+
+print-flops: analytic FLOPs of the Swin backbone (mirrors the reference's
+  flops() methods, Swin_Transformer.py:149-429).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def convert_checkpoint(args) -> None:
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+    from facialmmt_tpu.checkpoint.torch_convert import (
+        convert_multimodal, convert_pretrained_swin_backbone,
+        convert_swin_fer, convert_unimodal, load_torch_state_dict)
+    from facialmmt_tpu.config import FacialMMTConfig
+
+    cfg = FacialMMTConfig(plm_name=args.plm_name)
+    sd = load_torch_state_dict(args.input)
+    kind = args.kind
+    if kind == "unimodal":
+        tree = convert_unimodal(sd, cfg)
+    elif kind == "multimodal":
+        tree = convert_multimodal(sd, cfg)
+    elif kind == "swin":
+        tree = convert_swin_fer(sd, cfg)
+    elif kind == "swin_backbone":
+        tree = convert_pretrained_swin_backbone(sd, cfg)
+    else:
+        raise SystemExit(f"unknown --kind {kind}")
+    import os
+
+    out_dir, tag = os.path.split(args.output.rstrip("/"))
+    mgr = CheckpointManager(out_dir or ".", keep_best_only=False)
+    path = mgr.save(tag, tree)
+    n = sum(x.size for x in _leaves(tree))
+    print(f"converted {args.input} ({kind}, {n / 1e6:.1f}M params) -> {path}")
+
+
+def _leaves(tree):
+    import jax
+
+    return [x for x in jax.tree.leaves(tree) if hasattr(x, "size")]
+
+
+def print_flops(args) -> None:
+    from facialmmt_tpu.config import FacialMMTConfig
+    from facialmmt_tpu.ops.swin import swin_flops
+
+    cfg = FacialMMTConfig()
+    f = swin_flops(cfg.swin)
+    print(f"swin-tiny forward: {f / 1e9:.2f} GFLOPs/image "
+          f"({f * args.batch / 1e12:.2f} TFLOPs at batch {args.batch})")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="facialmmt_tpu.tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert-checkpoint")
+    c.add_argument("--kind", required=True,
+                   choices=["unimodal", "multimodal", "swin", "swin_backbone"])
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--plm_name", default="roberta-large")
+    c.set_defaults(func=convert_checkpoint)
+
+    f = sub.add_parser("print-flops")
+    f.add_argument("--batch", type=int, default=1)
+    f.set_defaults(func=print_flops)
+
+    args = p.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
