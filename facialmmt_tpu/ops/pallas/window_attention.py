@@ -125,3 +125,91 @@ def _bwd(group, interpret, res, grad):
 
 
 fused_window_attention.defvjp(_fwd, _bwd)
+
+
+# ----------------------------------------------------------------- kernel v2 --
+#
+# v1 loops windows serially inside the cell — each (49 x 49 x 32) dot still pays
+# the MXU instance floor (~160 ns), so it barely beats XLA.  v2 merges G windows
+# into ONE (G*N, G*N) matmul pair per head with a block-diagonal additive mask.
+#
+# MEASURED (v5e, 256-image swin-tiny batch, per stage, vs XLA einsum path):
+#   stage0 (W=16384,h=3):  xla 25.1 ms   v2(G=4) 24.5 ms
+#   stage1 (W=4096, h=6):  xla 13.8 ms   v2(G=4) 12.1 ms
+#   stage2 (W=1024, h=12): xla  7.0 ms   v2(G=4)  7.2 ms
+#   stage3 (W=256,  h=24): xla  4.3 ms   v2(G=4)  4.3 ms
+# i.e. parity: tiny-window Swin attention is at this hardware's floor without
+# hand-scheduled DMA pipelining.  Kept for future Mosaic work; the backbone
+# defaults to the XLA path (SwinConfig / WindowAttention.fused = 'off').
+
+def _make_kernel_v2(num_heads: int, num_bias_groups: int):
+    # inputs arrive pre-merged as (1, h, G*N, hd) blocks: Mosaic cannot shape-
+    # cast across the (G, N) sublane boundary in-kernel (N=49 is tile-unaligned),
+    # so the merge happens in XLA outside the kernel.
+    def kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+        cell = pl.program_id(0)
+        bias_idx = jax.lax.rem(cell, num_bias_groups)
+        for head in range(num_heads):
+            q = q_ref[0, head]                       # (G*N, hd)
+            k = k_ref[0, head]
+            v = v_ref[0, head]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            s = s + bias_ref[bias_idx, head]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+            o_ref[0, head] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _block_diag_bias(bias, g):
+    """(nW, h, N, N) per-window bias -> (ceil(nW/g) [or 1], h, G*N, G*N)
+    block-diagonal big-bias with -1e9 off-diagonal (cross-window) blocks.
+    Traceable (bias derives from the relative-position-bias parameter)."""
+    nw, h, n, _ = bias.shape
+    groups = max(nw // g, 1)
+    big = jnp.full((groups, h, g * n, g * n), -1e9, jnp.float32)
+    for gr in range(groups):
+        for i in range(g):
+            wi = (gr * g + i) % nw
+            big = big.at[gr, :, i * n:(i + 1) * n,
+                         i * n:(i + 1) * n].set(bias[wi].astype(jnp.float32))
+    return big
+
+
+def fused_window_attention_v2(q, k, v, bias, group: int = 4,
+                              interpret: bool = False):
+    """Block-diagonal grouped window attention.  Same contract as
+    fused_window_attention; `group` windows merge into one matmul pair.
+    Requires (W % group == 0) and (nW % group == 0 or nW == 1)."""
+    w, h, n, hd = q.shape
+    nw = bias.shape[0]
+    g = group
+    while w % g != 0 or (nw > 1 and nw % g != 0):
+        g -= 1
+    big_bias = jnp.asarray(_block_diag_bias(bias, g), jnp.bfloat16)
+    groups = big_bias.shape[0]
+
+    def merge(x):
+        # (W, h, N, hd) -> (W/G, h, G*N, hd)
+        return x.reshape(w // g, g, h, n, hd).transpose(0, 2, 1, 3, 4).reshape(
+            w // g, h, g * n, hd)
+
+    grid = (w // g,)
+    spec = pl.BlockSpec((1, h, g * n, hd), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_kernel_v2(h, groups),
+        grid=grid,
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((groups, h, g * n, g * n),
+                               lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((w // g, h, g * n, hd), q.dtype),
+        interpret=interpret,
+    )(merge(q), merge(k), merge(v), big_bias)
+    return out.reshape(w // g, h, g, n, hd).transpose(0, 2, 1, 3, 4).reshape(
+        w, h, n, hd)

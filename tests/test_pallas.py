@@ -76,3 +76,19 @@ def test_auto_group_fits_budget():
         n_p = 64
         bias = nw * h * n_p * 128 * 2 * 2
         assert 4 * 2 * _padded_bytes(g, h, 49, 32, 2) + bias <= 10 * 1024 * 1024
+
+
+def test_fused_window_attention_v2_matches_reference(rng):
+    from facialmmt_tpu.ops.pallas.window_attention import \
+        fused_window_attention_v2
+
+    w, h, n, hd, nw = 8, 3, 49, 32, 4
+    q = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nw, h, n, n)).astype(np.float32))
+    got = jax.jit(lambda q, k, v, b: fused_window_attention_v2(
+        q, k, v, b, 4, True))(q, k, v, bias)
+    want = _reference(q, k, v, bias.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3,
+                               atol=2e-3)
