@@ -37,7 +37,8 @@ def main():
     # MELD test-set structure: ~9.3 utterances/dialogue (2610 utts / 280
     # dialogues), ~8 face crops per utterance.  The batch carries the unique
     # dialogues once (encode-once-gather-many) exactly as the real loader does.
-    batch_size = 32
+    import os as _os
+    batch_size = int(_os.environ.get("BENCH_BATCH", 64))
     batch = _make_batch(cfg, b=batch_size, utts_per_dia=8, faces_per_utt=8)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},

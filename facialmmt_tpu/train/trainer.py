@@ -55,10 +55,44 @@ class Trainer:
         self.dtype = (jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16"
                       else jnp.float32)
         self.rng = jax.random.PRNGKey(cfg.runtime.seed)
+        # device mesh: dp batches over 'data', tp text-tower kernels over
+        # 'model' (parallel/mesh.py).  Single device => plan is a no-op.
+        self.plan = None
+        n_dev = jax.device_count()
+        dp, tp = cfg.parallel.dp, cfg.parallel.tp
+        if n_dev > 1 and (dp != 1 or tp != 1):
+            from facialmmt_tpu.parallel.mesh import build_mesh
+
+            self.plan = build_mesh(dp=dp, tp=tp)
 
     def _next_rng(self):
         self.rng, out = jax.random.split(self.rng)
         return out
+
+    def _place_state(self, state):
+        """Replicate train state over the mesh (text-tower params get tp
+        shardings); no-op without a mesh."""
+        if self.plan is None:
+            return state
+        from facialmmt_tpu.parallel.mesh import param_shardings, replicate
+
+        rep = replicate(self.plan)
+        placed_params = jax.device_put(
+            state.params, param_shardings(self.plan, state.params))
+        rest = jax.device_put(
+            state._replace(params=placed_params)._asdict(),
+            jax.tree.map(lambda _: rep,
+                         state._replace(params=placed_params)._asdict()))
+        rest["params"] = placed_params
+        return type(state)(**rest)
+
+    def _place_batch(self, tree):
+        """Shard a batch pytree on the leading axis; no-op without a mesh."""
+        if self.plan is None:
+            return tree
+        from facialmmt_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.plan, tree)
 
     # ------------------------------------------------------------ unimodal --
 
@@ -80,7 +114,7 @@ class Trainer:
         sample = train_ds.get_batch([0])
         params = model.init(self._next_rng(), jnp.asarray(sample["feats"]),
                             jnp.asarray(sample["mask"]))["params"]
-        state = SingleTaskState.create(params, tx)
+        state = self._place_state(SingleTaskState.create(params, tx))
         train_step = jax.jit(make_unimodal_train_step(model, tx))
         eval_step = jax.jit(make_unimodal_eval_step(model))
 
@@ -100,10 +134,11 @@ class Trainer:
             timer = StepTimer()
             start = time.time()
             for i, (batch, n_valid) in enumerate(loader.epoch(epoch)):
+                placed = self._place_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()})
                 state, loss = train_step(
-                    state, jnp.asarray(batch["feats"]),
-                    jnp.asarray(batch["mask"]),
-                    jnp.asarray(batch["labels"]), self._next_rng())
+                    state, placed["feats"], placed["mask"], placed["labels"],
+                    self._next_rng())
                 timer.update(float(loss), n_valid)
                 if i % cfg.runtime.trg_log_interval == 0 and i > 0:
                     ms, avg = timer.interval_stats(cfg.runtime.trg_log_interval)
@@ -161,7 +196,7 @@ class Trainer:
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()
                         if k != "faces_raw"}
         device_batch["faces"] = out.astype(self.dtype)
-        return device_batch
+        return self._place_batch(device_batch)
 
     def _init_multitask_state(self, model, train_ds, aux_len, swin_variables):
         cfg, opt = self.cfg, self.cfg.optim
@@ -191,7 +226,8 @@ class Trainer:
             bs_sw = dict(batch_stats["swin_model"])
             bs_sw["swin"] = swin_variables["batch_stats"]["swin"]
             batch_stats["swin_model"] = bs_sw
-        state = MultiTaskState.create(params, batch_stats, swin_tx, mm_tx)
+        state = self._place_state(
+            MultiTaskState.create(params, batch_stats, swin_tx, mm_tx))
         return state, swin_tx, mm_tx, steps_per_epoch, trg_bsz
 
     def _face_capacity(self, batch_size: int) -> int:

@@ -112,3 +112,37 @@ def test_tp_text_encoder_runs_sharded(rng):
         lambda p, i, m: enc.apply({"params": p}, i, m))(
             sharded_params, ids_s, mask_s))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_trainer_unimodal_on_dp_mesh(tmp_path, rng):
+    """Full unimodal training run with the Trainer's mesh integration
+    (--dp path): dp=8 over the virtual CPU mesh."""
+    import dataclasses
+
+    from facialmmt_tpu.config import OptimConfig, ParallelConfig, RuntimeConfig
+    from facialmmt_tpu.data.meld import MeldVisionDataset
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+    from tests.fixtures import write_meld_fixture
+
+    for split in ("train", "val", "test"):
+        write_meld_fixture(str(tmp_path), split=split, num_dia=4,
+                           utts_per_dia=4, seed=hash(split) % 50)
+    train_ds = MeldVisionDataset(str(tmp_path), "train")
+    cfg = FacialMMTConfig.tiny().replace(
+        parallel=ParallelConfig(dp=8, tp=1),
+        optim=OptimConfig(num_epochs=1, trg_batch_size=8,
+                          trg_accumulation_steps=1, trg_lr=1e-3, warm_up=0.0),
+        runtime=RuntimeConfig(save_model_path=str(tmp_path / "saved"),
+                              compute_dtype="float32", metrics_path="",
+                              trg_log_interval=1000))
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, vision_utt_max_len=train_ds.max_utt_len,
+        vision_feat_dim=train_ds.feat_dim))
+    trainer = Trainer(cfg, MetricWriter("", also_print=False))
+    assert trainer.plan is not None
+    assert trainer.plan.mesh.shape == {"data": 8, "model": 1}
+    wf1 = trainer.run_unimodal(train_ds,
+                               MeldVisionDataset(str(tmp_path), "val"),
+                               MeldVisionDataset(str(tmp_path), "test"))
+    assert 0.0 <= wf1 <= 1.0
