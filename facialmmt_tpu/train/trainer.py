@@ -77,14 +77,16 @@ class Trainer:
         from facialmmt_tpu.parallel.mesh import param_shardings, replicate
 
         rep = replicate(self.plan)
-        placed_params = jax.device_put(
-            state.params, param_shardings(self.plan, state.params))
-        rest = jax.device_put(
-            state._replace(params=placed_params)._asdict(),
-            jax.tree.map(lambda _: rep,
-                         state._replace(params=placed_params)._asdict()))
-        rest["params"] = placed_params
-        return type(state)(**rest)
+        fields = state._asdict()
+        placed = {
+            "params": jax.device_put(
+                fields.pop("params"),
+                param_shardings(self.plan, state.params))
+        }
+        for name, value in fields.items():
+            placed[name] = jax.device_put(value,
+                                          jax.tree.map(lambda _: rep, value))
+        return type(state)(**placed)
 
     def _place_batch(self, tree):
         """Shard a batch pytree on the leading axis; no-op without a mesh."""
