@@ -64,6 +64,7 @@ class SwinConfig:
     drop_path_rate: float = 0.3
     patch_norm: bool = True
     ape: bool = False
+    remat: bool = True   # jax.checkpoint each block in the backward pass
     out_feature_dim: int = 512  # LN -> flatten -> Linear(49*768, 512) -> BatchNorm1d
                                 # (reference Swin_Transformer.py:491-494)
 
@@ -123,6 +124,8 @@ class TextEncoderConfig:
     fused_attention: str = "auto"       # 'auto' | 'on' | 'off' — Pallas fused
                                         # attention kernel (ops/pallas/attention.py);
                                         # auto = on when running on TPU
+    remat: bool = True                  # jax.checkpoint each layer (backward
+                                        # recompute; needed to train large towers)
 
     @staticmethod
     def roberta_large() -> "TextEncoderConfig":
@@ -201,7 +204,8 @@ class ParallelConfig:
     a jax.sharding.Mesh with named axes and per-task sharding rules over ICI.
     """
 
-    dp: int = -1        # -1: use all devices on the data axis
+    dp: int = 1         # data-parallel ways; -1 = all devices (CLI default);
+                        # in-config default is 1 so library users opt in explicitly
     tp: int = 1         # tensor-parallel axis (model sharding for the text tower)
     data_axis: str = "data"
     model_axis: str = "model"

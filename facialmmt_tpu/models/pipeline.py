@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -52,7 +53,14 @@ class FacialMMTPipeline(nn.Module):
         self.multimodal = MultiModalTransformerForClassification(
             self.config, dtype=self.dtype, name="multimodal")
 
-    def __call__(self, batch, *, deterministic: bool = True):
+    def __call__(self, batch, *, deterministic: bool = True,
+                 stop_swin_gradient: bool = False):
+        """stop_swin_gradient=True cuts the backward pass at the FER-distribution
+        boundary.  The reference COMPUTES target-task gradients into Swin and
+        then discards them (two-optimizer coupling, reference train.py:305-340),
+        so stopping the gradient is numerically identical for the applied
+        updates while skipping the entire Swin backward — the dominant cost of
+        a training step.  Joint training (swin_from_target) keeps it False."""
         cfg = self.config
         b = batch["vision_feats"].shape[0]
         f = cfg.data.vision_utt_max_len
@@ -60,6 +68,8 @@ class FacialMMTPipeline(nn.Module):
         # frame-level FER distributions for every real face in the batch
         probs_flat = self.swin_model(
             batch["faces"], is_trg_task=True, deterministic=deterministic)
+        if stop_swin_gradient:
+            probs_flat = jax.lax.stop_gradient(probs_flat)
         probs = scatter_face_probs(
             probs_flat.astype(jnp.float32), batch["face_utt_id"],
             batch["face_pos"], b, f)

@@ -41,7 +41,8 @@ class TextEncoderLayer(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, bias, *, deterministic: bool = True):
+    def __call__(self, x, bias, deterministic: bool = True):
+        # `deterministic` is positional so nn.remat can mark it static
         cfg = self.config
         h, nh = cfg.hidden_size, cfg.num_heads
         hd = h // nh
@@ -119,7 +120,12 @@ class TextEncoder(nn.Module):
             x = x.astype(self.dtype)
 
         bias = ((1.0 - attention_mask.astype(jnp.float32)) * BIG_NEG)[:, None, None, :]
+        # rematerialize each layer in the backward pass: recompute activations
+        # instead of storing 24 layers x 512 tokens of residuals (jax.checkpoint;
+        # required to train roberta-large-size towers in 16 GB HBM)
+        layer_cls = (nn.remat(TextEncoderLayer, static_argnums=(3,))
+                     if cfg.remat else TextEncoderLayer)
         for i in range(cfg.num_layers):
-            x = TextEncoderLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                x, bias, deterministic=deterministic)
+            x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
+                x, bias, deterministic)
         return x

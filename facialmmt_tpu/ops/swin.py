@@ -193,7 +193,8 @@ class SwinBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
+        # `deterministic` is positional so nn.remat can mark it static
         h, w = self.input_resolution
         ws, shift = self.window_size, self.shift_size
         if min(h, w) <= ws:
@@ -315,17 +316,19 @@ class SwinTransformer(nn.Module):
         dim = cfg.embed_dim
         blk_i = 0
         num_layers = len(cfg.depths)
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
+                     if cfg.remat else SwinBlock)
         for stage in range(num_layers):
             stage_res = (res[0] // (2 ** stage), res[1] // (2 ** stage))
             for d in range(cfg.depths[stage]):
-                x = SwinBlock(
+                x = block_cls(
                     dim=int(dim * 2 ** stage), input_resolution=stage_res,
                     num_heads=cfg.num_heads[stage], window_size=cfg.window_size,
                     shift_size=0 if d % 2 == 0 else cfg.window_size // 2,
                     mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
                     drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
                     drop_path=float(dpr[blk_i]), dtype=self.dtype,
-                    name=f"stage_{stage}_block_{d}")(x, deterministic=deterministic)
+                    name=f"stage_{stage}_block_{d}")(x, deterministic)
                 blk_i += 1
             if stage < num_layers - 1:
                 x = PatchMerging(stage_res, int(dim * 2 ** stage),

@@ -48,6 +48,9 @@ def make_multimodal_train_step(model: FacialMMTPipeline, swin_tx, mm_tx,
         variables = {"params": params, "batch_stats": batch_stats}
         logits, mutated = model.apply(
             variables, batch, deterministic=False,
+            # without joint training the Swin backward is pure waste (its grads
+            # are discarded — reference semantics); stop-gradient skips it
+            stop_swin_gradient=not swin_from_target,
             rngs={"gumbel": rng, "dropout": jax.random.fold_in(rng, 1)},
             mutable=["batch_stats"])
         return cross_entropy(logits, batch["labels"]), mutated["batch_stats"]

@@ -60,10 +60,22 @@ class Trainer:
         self.plan = None
         n_dev = jax.device_count()
         dp, tp = cfg.parallel.dp, cfg.parallel.tp
-        if n_dev > 1 and (dp != 1 or tp != 1):
+        if n_dev > 1 and (dp == -1 or dp > 1 or tp > 1):
             from facialmmt_tpu.parallel.mesh import build_mesh
 
-            self.plan = build_mesh(dp=dp, tp=tp)
+            # batches shard on their leading axis, so dp must divide the
+            # effective batch; with dp=-1 (use-all-devices) shrink to the
+            # largest compatible ways instead of failing on small runs
+            batch = max(cfg.optim.trg_batch_size
+                        * cfg.optim.trg_accumulation_steps, 1)
+            want_dp = (n_dev // tp) if dp == -1 else dp
+            while want_dp > 1 and (batch % want_dp != 0
+                                   or (n_dev // tp) % want_dp != 0):
+                want_dp -= 1
+            if want_dp * tp > 1:
+                self.plan = build_mesh(
+                    dp=want_dp, tp=tp,
+                    devices=jax.devices()[:want_dp * tp])
 
     def _next_rng(self):
         self.rng, out = jax.random.split(self.rng)
@@ -117,7 +129,9 @@ class Trainer:
         params = model.init(self._next_rng(), jnp.asarray(sample["feats"]),
                             jnp.asarray(sample["mask"]))["params"]
         state = self._place_state(SingleTaskState.create(params, tx))
-        train_step = jax.jit(make_unimodal_train_step(model, tx))
+        # donate the state: without it params+opt buffers exist twice per step
+        train_step = jax.jit(make_unimodal_train_step(model, tx),
+                             donate_argnums=(0,))
         eval_step = jax.jit(make_unimodal_eval_step(model))
 
         ckpt = CheckpointManager(cfg.runtime.save_model_path)
@@ -246,8 +260,12 @@ class Trainer:
         state, swin_tx, mm_tx, steps_per_epoch, trg_bsz = \
             self._init_multitask_state(model, train_ds, len(aux_ds),
                                        pretrained_swin)
-        aux_step = jax.jit(make_aux_train_step(model, swin_tx))
-        trg_step = jax.jit(make_multimodal_train_step(model, swin_tx, mm_tx))
+        # donate the state in both task steps: params + optimizer moments for
+        # the large text tower would otherwise be double-buffered (~6 GB extra)
+        aux_step = jax.jit(make_aux_train_step(model, swin_tx),
+                           donate_argnums=(0,))
+        trg_step = jax.jit(make_multimodal_train_step(model, swin_tx, mm_tx),
+                           donate_argnums=(0,))
         eval_step = jax.jit(make_multimodal_eval_step(
             model, sample_gumbel=not cfg.runtime.deterministic_gumbel))
 
@@ -401,7 +419,8 @@ class DialogueTrainer(Trainer):
             sample["vision_inputs"], sample["vision_mask"],
             sample["dia_mask"])["params"]
         state = SingleTaskState.create(params, tx)
-        train_step = _jax.jit(make_dialogue_train_step(model, tx))
+        train_step = _jax.jit(make_dialogue_train_step(model, tx),
+                              donate_argnums=(0,))
         eval_step = _jax.jit(make_dialogue_eval_step(model))
 
         def evaluate(params, ds):
