@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import threading
 import queue as queue_mod
-from typing import Callable, Iterator, List, Optional
+from typing import Callable, Iterator, List
 
 import numpy as np
 

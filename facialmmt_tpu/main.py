@@ -16,8 +16,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-from typing import Optional
-
 import numpy as np
 
 

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from facialmmt_tpu.config import FacialMMTConfig

@@ -26,7 +26,6 @@ TPU program (batch axis maps onto the 'data' mesh axis).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Optional
 
 import jax

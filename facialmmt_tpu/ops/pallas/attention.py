@@ -22,8 +22,6 @@ XLA-fused).  Numerics match the unfused path to bf16 tolerance
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

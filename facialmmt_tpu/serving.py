@@ -16,7 +16,7 @@ Variable-size requests are padded into the static shapes on host:
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

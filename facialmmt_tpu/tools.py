@@ -14,7 +14,6 @@ print-flops: analytic FLOPs of the Swin backbone (mirrors the reference's
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def convert_checkpoint(args) -> None:

@@ -17,14 +17,10 @@ Reference semantics preserved:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import optax
 
-from facialmmt_tpu.config import FacialMMTConfig
 from facialmmt_tpu.models.pipeline import FacialMMTPipeline
 from facialmmt_tpu.models.unimodal import MeldUttTransformer
 from facialmmt_tpu.train.optim import MultiTaskState, SingleTaskState
