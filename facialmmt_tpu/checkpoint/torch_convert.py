@@ -281,11 +281,14 @@ def convert_unimodal(sd, cfg: FacialMMTConfig):
     return {"params": params}
 
 
-def convert_multimodal(sd, cfg: FacialMMTConfig):
-    """MultiModalTransformerForClassification (reference src/models.py:41-188)."""
-    text_cfg = (TextEncoderConfig.roberta_large()
-                if cfg.plm_name == "roberta-large"
-                else TextEncoderConfig.bert_large())
+def convert_multimodal(sd, cfg: FacialMMTConfig,
+                       text_cfg: "TextEncoderConfig" = None):
+    """MultiModalTransformerForClassification (reference src/models.py:41-188).
+    text_cfg overrides the tower config (tests use tiny towers)."""
+    if text_cfg is None:
+        text_cfg = (TextEncoderConfig.roberta_large()
+                    if cfg.plm_name == "roberta-large"
+                    else TextEncoderConfig.bert_large())
     hf_prefix = "roberta" if text_cfg.model_type == "roberta" else "bert"
     params: Dict[str, Any] = {
         "text_encoder": convert_hf_text_encoder(sd, hf_prefix, text_cfg),

@@ -230,3 +230,99 @@ def test_text_encoder_parity_vs_hf(rng):
                                    jnp.asarray(mask, jnp.int32)))
         np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4,
                                    err_msg=model_type)
+
+
+def test_full_multimodal_model_parity(reference_modules, rng, tmp_path):
+    """CAPSTONE: the reference's complete MultiModalTransformerForClassification
+    (torch, local random-weight roberta) vs our full fusion model on converted
+    weights — exercises span extraction, all encoders, shared crossmodal stacks,
+    pooling and the classifier in one shot (reference src/models.py:41-188)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import RobertaConfig, RobertaModel
+
+    from facialmmt_tpu.config import (CrossModalConfig, EncoderConfig,
+                                      FacialMMTConfig, DataConfig,
+                                      TextEncoderConfig)
+    from facialmmt_tpu.checkpoint.torch_convert import convert_multimodal
+    from facialmmt_tpu.models.multimodal import \
+        MultiModalTransformerForClassification
+
+    h, heads = 32, 4
+    tcfg = TextEncoderConfig.tiny("roberta")
+    # the reference keys roberta-vs-bert off the checkpoint dir name
+    # (src/models.py:49-52), so the local dir must be named 'roberta-large'
+    hf_dir = tmp_path / "roberta-large"
+    torch.manual_seed(0)
+    hf = RobertaModel(RobertaConfig(
+        vocab_size=tcfg.vocab_size, hidden_size=tcfg.hidden_size,
+        num_hidden_layers=tcfg.num_layers, num_attention_heads=tcfg.num_heads,
+        intermediate_size=tcfg.intermediate_size,
+        max_position_embeddings=tcfg.max_position_embeddings,
+        type_vocab_size=1, pad_token_id=1, layer_norm_eps=tcfg.layer_norm_eps))
+    hf.save_pretrained(hf_dir)
+
+    La, da, Lv, dv, T, L = 9, 12, 5, 10, 6, 48
+    args = types.SimpleNamespace(
+        choice_modality="T+A+V", num_labels=7, get_text_utt_max_lens=T,
+        hidden_size=h, pretrainedtextmodel_path=str(hf_dir),
+        audio_featExtr_dim=da, audio_utt_Transformernum=2,
+        get_audio_utt_max_lens=La,
+        crossmodal_num_heads_TA=heads, crossmodal_layers_TA=2,
+        crossmodal_attn_dropout_TA=0.1,
+        crossmodal_num_heads_TA_V=heads, crossmodal_layers_TA_V=2,
+        crossmodal_attn_dropout_TA_V=0.1,
+        vision_featExtr_dim=dv, vision_utt_Transformernum=1,
+        get_vision_utt_max_lens=Lv,
+        num_attention_heads=heads, intermediate_size=2 * h,
+        attention_probs_dropout_prob=0.1, hidden_dropout_prob=0.1,
+        layer_norm_eps=1e-12)
+
+    import src.models as ref_models
+
+    torch.manual_seed(1)
+    ref = ref_models.MultiModalTransformerForClassification(args).eval()
+
+    b = 2
+    ids = rng.integers(2, tcfg.vocab_size, size=(b, L))
+    mask = np.ones((b, L), np.int64)
+    sep = np.zeros((b, L), np.int64)
+    sep[:, 7] = sep[:, 15] = sep[:, 24] = 1
+    audio = rng.normal(size=(b, La, da)).astype(np.float32)
+    amask = np.ones((b, La), np.float32)
+    amask[0, 6:] = 0
+    vis = rng.normal(size=(b, Lv, dv + 7)).astype(np.float32)
+    vmask = np.ones((b, Lv), np.float32)
+    vmask[1, 3:] = 0
+    utt_idx = np.array([0, 2])
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids), torch.from_numpy(mask),
+                   torch.from_numpy(sep), torch.from_numpy(audio),
+                   torch.from_numpy(amask), torch.from_numpy(vis),
+                   torch.from_numpy(vmask),
+                   torch.from_numpy(utt_idx)).numpy()
+
+    cfg = FacialMMTConfig(
+        hidden_size=h, plm_name="roberta-large",
+        audio_utt_transformer_num=2, vision_utt_transformer_num=1,
+        encoder=EncoderConfig(hidden_size=h, num_attention_heads=heads,
+                              intermediate_size=2 * h),
+        crossmodal_ta=CrossModalConfig(embed_dim=h, num_heads=heads, layers=2),
+        crossmodal_ta_v=CrossModalConfig(embed_dim=h, num_heads=heads,
+                                         layers=2),
+        text=tcfg,
+        data=DataConfig(max_seq_length=L, text_utt_max_len=T,
+                        audio_utt_max_len=La, vision_utt_max_len=Lv,
+                        audio_feat_dim=da, vision_feat_dim=dv))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_multimodal(sd, cfg, text_cfg=tcfg)
+    model = MultiModalTransformerForClassification(cfg)
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        jnp.asarray(sep, jnp.int32), jnp.asarray(audio),
+        jnp.asarray(amask, jnp.int32), jnp.asarray(vis),
+        jnp.asarray(vmask, jnp.int32), jnp.asarray(utt_idx, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
