@@ -326,3 +326,151 @@ def test_full_multimodal_model_parity(reference_modules, rng, tmp_path):
         jnp.asarray(amask, jnp.int32), jnp.asarray(vis),
         jnp.asarray(vmask, jnp.int32), jnp.asarray(utt_idx, jnp.int32)))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_full_pipeline_parity_bs1(reference_modules, rng, tmp_path):
+    """SYSTEM ORACLE at bs=1: faces -> Swin FER -> (deterministic) gumbel ->
+    frame filter -> fusion model, reference torch vs our fused pipeline.
+
+    Deterministic gumbel on both sides: torch.Tensor.exponential_ is patched to
+    fill 1.0 so F.gumbel_softmax's noise is exactly zero (reference samples at
+    eval, src/models.py:31-32); our side sets runtime.deterministic_gumbel.
+    The filter stage follows the literal re-derivation validated in
+    tests/test_frame_filter.py."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import RobertaConfig, RobertaModel
+
+    from facialmmt_tpu.config import (CrossModalConfig, DataConfig,
+                                      EncoderConfig, FacialMMTConfig,
+                                      RuntimeConfig, TextEncoderConfig)
+    from facialmmt_tpu.checkpoint.torch_convert import (convert_multimodal,
+                                                        convert_swin_fer)
+    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+    from tests.test_frame_filter import reference_filter_single_utt
+
+    h, heads = 32, 4
+    tcfg = TextEncoderConfig.tiny("roberta")
+    hf_dir = tmp_path / "roberta-large"
+    torch.manual_seed(0)
+    RobertaModel(RobertaConfig(
+        vocab_size=tcfg.vocab_size, hidden_size=tcfg.hidden_size,
+        num_hidden_layers=tcfg.num_layers, num_attention_heads=tcfg.num_heads,
+        intermediate_size=tcfg.intermediate_size,
+        max_position_embeddings=tcfg.max_position_embeddings,
+        type_vocab_size=1, pad_token_id=1,
+        layer_norm_eps=tcfg.layer_norm_eps)).save_pretrained(hf_dir)
+
+    La, da, Lv, dv, T, L = 7, 12, 4, 10, 6, 48
+    args = types.SimpleNamespace(
+        choice_modality="T+A+V", num_labels=7, get_text_utt_max_lens=T,
+        hidden_size=h, pretrainedtextmodel_path=str(hf_dir),
+        audio_featExtr_dim=da, audio_utt_Transformernum=1,
+        get_audio_utt_max_lens=La,
+        crossmodal_num_heads_TA=heads, crossmodal_layers_TA=1,
+        crossmodal_attn_dropout_TA=0.1,
+        crossmodal_num_heads_TA_V=heads, crossmodal_layers_TA_V=1,
+        crossmodal_attn_dropout_TA_V=0.1,
+        vision_featExtr_dim=dv, vision_utt_Transformernum=1,
+        get_vision_utt_max_lens=Lv,
+        num_attention_heads=heads, intermediate_size=2 * h,
+        attention_probs_dropout_prob=0.1, hidden_dropout_prob=0.1,
+        layer_norm_eps=1e-12, tau=1.0)
+
+    import src.models as ref_models
+
+    torch.manual_seed(1)
+    ref_mm = ref_models.MultiModalTransformerForClassification(args).eval()
+
+    # reference SwinForAffwildClassification needs the BackboneFactory; build
+    # the backbone directly and mirror the head (src/models.py:14-37)
+    torch.manual_seed(2)
+    ref_swin_backbone = reference_modules.swin.SwinTransformer(
+        img_size=224, patch_size=4, in_chans=3, embed_dim=96,
+        depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24], window_size=7,
+        drop_path_rate=0.0, ape=False, patch_norm=True).eval()
+    head_linear = torch.nn.Linear(512, 64)
+    head_cls = torch.nn.Linear(64, 7)
+
+    n_imgs = 3
+    faces = rng.normal(size=(n_imgs, 3, 224, 224)).astype(np.float32) * 0.4
+    ids = rng.integers(2, tcfg.vocab_size, size=(1, L))
+    mask = np.ones((1, L), np.int64)
+    sep = np.zeros((1, L), np.int64)
+    sep[:, 7] = sep[:, 15] = 1
+    audio = rng.normal(size=(1, La, da)).astype(np.float32)
+    amask = np.ones((1, La), np.float32)
+    vision = rng.normal(size=(1, Lv, dv)).astype(np.float32)
+    vision[0, n_imgs:] = 0
+    utt_idx = np.array([1])
+
+    # ---- reference flow (bs=1) ----
+    with torch.no_grad():
+        feats = ref_swin_backbone(torch.from_numpy(faces))
+        logits = head_cls(torch.relu(head_linear(feats)))
+        # deterministic gumbel: patch the noise to exactly zero
+        orig_exp = torch.Tensor.exponential_
+        torch.Tensor.exponential_ = lambda self, *a, **k: self.fill_(1.0)
+        try:
+            probs = torch.nn.functional.gumbel_softmax(logits, args.tau)
+        finally:
+            torch.Tensor.exponential_ = orig_exp
+        vis_concat, new_mask = reference_filter_single_utt(
+            vision[0], probs.numpy(), n_imgs, 0.2)
+        want = ref_mm(torch.from_numpy(ids), torch.from_numpy(mask),
+                      torch.from_numpy(sep), torch.from_numpy(audio),
+                      torch.from_numpy(amask),
+                      torch.from_numpy(vis_concat[None]),
+                      torch.from_numpy(new_mask[None].astype(np.float32)),
+                      torch.from_numpy(utt_idx)).numpy()
+
+    # ---- our fused pipeline ----
+    cfg = FacialMMTConfig(
+        hidden_size=h, plm_name="roberta-large",
+        audio_utt_transformer_num=1, vision_utt_transformer_num=1,
+        encoder=EncoderConfig(hidden_size=h, num_attention_heads=heads,
+                              intermediate_size=2 * h),
+        crossmodal_ta=CrossModalConfig(embed_dim=h, num_heads=heads, layers=1),
+        crossmodal_ta_v=CrossModalConfig(embed_dim=h, num_heads=heads,
+                                         layers=1),
+        text=tcfg,
+        data=DataConfig(max_seq_length=L, text_utt_max_len=T,
+                        audio_utt_max_len=La, vision_utt_max_len=Lv,
+                        audio_feat_dim=da, vision_feat_dim=dv),
+        runtime=RuntimeConfig(deterministic_gumbel=True))
+
+    mm_vars = convert_multimodal(
+        {k: v.detach().numpy() for k, v in ref_mm.state_dict().items()},
+        cfg, text_cfg=tcfg)
+    swin_sd = {f"swin.{k}": v.detach().numpy()
+               for k, v in ref_swin_backbone.state_dict().items()}
+    swin_sd.update({f"linear.{k}": v.detach().numpy()
+                    for k, v in head_linear.state_dict().items()})
+    swin_sd.update({f"classifier.{k}": v.detach().numpy()
+                    for k, v in head_cls.state_dict().items()})
+    swin_vars = convert_swin_fer(swin_sd, cfg)
+
+    variables = {
+        "params": {"swin_model": swin_vars["params"],
+                   "multimodal": mm_vars["params"]},
+        "batch_stats": {"swin_model": swin_vars["batch_stats"]},
+    }
+    batch = {
+        "dia_input_ids": jnp.asarray(ids, jnp.int32),
+        "dia_input_mask": jnp.asarray(mask, jnp.int32),
+        "dia_sep_mask": jnp.asarray(sep, jnp.int32),
+        "utt_in_dia_idx": jnp.asarray(utt_idx, jnp.int32),
+        "audio_inputs": jnp.asarray(audio),
+        "audio_mask": jnp.asarray(amask, jnp.int32),
+        "vision_feats": jnp.asarray(vision),
+        "n_faces": jnp.asarray([n_imgs], jnp.int32),
+        "faces": jnp.asarray(faces.transpose(0, 2, 3, 1)),  # NCHW -> NHWC
+        "face_utt_id": jnp.asarray([0, 0, 0], jnp.int32),
+        "face_pos": jnp.asarray([0, 1, 2], jnp.int32),
+    }
+    model = FacialMMTPipeline(cfg)
+    got = np.asarray(model.apply(variables, batch))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
