@@ -162,6 +162,10 @@ class WindowAttention(nn.Module):
                 k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), full_bias)
             out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         else:
+            # fp32 score accumulation: bf16 accumulation was measured to give
+            # no in-context speedup on the full backbone (isolated attention
+            # subgraph gains don't materialize), so keep reference-closest
+            # numerics
             attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
                               preferred_element_type=jnp.float32)
             attn = attn + bias[None]
