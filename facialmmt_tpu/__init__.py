@@ -16,4 +16,37 @@ jax.sharding.Mesh + named shardings instead of single-GPU loops.
 
 __version__ = "0.1.0"
 
-from facialmmt_tpu.config import FacialMMTConfig
+from facialmmt_tpu.config import (CrossModalConfig, DataConfig, EncoderConfig,
+                                  FacialMMTConfig, OptimConfig, ParallelConfig,
+                                  RuntimeConfig, SwinConfig, TextEncoderConfig)
+
+
+def __getattr__(name):
+    """Lazy top-level API: heavyweight submodules import on first use."""
+    api = {
+        "FacialMMTPipeline": ("facialmmt_tpu.models.pipeline",
+                              "FacialMMTPipeline"),
+        "MultiModalTransformerForClassification": (
+            "facialmmt_tpu.models.multimodal",
+            "MultiModalTransformerForClassification"),
+        "MeldUttTransformer": ("facialmmt_tpu.models.unimodal",
+                               "MeldUttTransformer"),
+        "SwinForAffwildClassification": ("facialmmt_tpu.models.swin_fer",
+                                         "SwinForAffwildClassification"),
+        "DialogueMultiModalTransformer": ("facialmmt_tpu.models.dialogue",
+                                          "DialogueMultiModalTransformer"),
+        "TextEncoder": ("facialmmt_tpu.models.text_encoder", "TextEncoder"),
+        "Trainer": ("facialmmt_tpu.train.trainer", "Trainer"),
+        "DialogueTrainer": ("facialmmt_tpu.train.trainer", "DialogueTrainer"),
+        "EmotionServer": ("facialmmt_tpu.serving", "EmotionServer"),
+        "eval_meld": ("facialmmt_tpu.train.metrics", "eval_meld"),
+        "build_mesh": ("facialmmt_tpu.parallel.mesh", "build_mesh"),
+        "CheckpointManager": ("facialmmt_tpu.checkpoint.orbax_io",
+                              "CheckpointManager"),
+    }
+    if name in api:
+        import importlib
+
+        module, attr = api[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'facialmmt_tpu' has no attribute {name!r}")
