@@ -1,0 +1,93 @@
+"""CLI flag -> config mapping tests (facialmmt_tpu/main.py glue)."""
+
+import numpy as np
+
+from facialmmt_tpu.main import build_argparser, config_from_args
+
+
+def parse(argv):
+    return config_from_args(build_argparser().parse_args(argv))
+
+
+def test_defaults_match_reference_flags():
+    """Defaults mirror reference main.py:12-105."""
+    cfg = parse([])
+    assert cfg.choice_modality == "T+A+V"
+    assert cfg.plm_name == "roberta-large"
+    assert cfg.do_eval is True
+    assert cfg.num_labels == 7
+    assert cfg.tau == 1.0
+    assert cfg.facial_emo_impor_threshold == 0.2
+    assert cfg.optim.aux_lr == 5e-5
+    assert cfg.optim.trg_lr == 7e-6
+    assert cfg.optim.weight_decay == 0.01
+    assert cfg.optim.warm_up == 0.1
+    assert cfg.optim.aux_batch_size == 150
+    assert cfg.optim.trg_batch_size == 1
+    assert cfg.optim.trg_accumulation_steps == 4
+    assert cfg.optim.clip == 0.8
+    assert cfg.runtime.seed == 1111
+    assert cfg.crossmodal_ta.layers == 2
+    assert cfg.crossmodal_ta.num_heads == 12
+    assert cfg.audio_utt_transformer_num == 5
+    assert cfg.vision_utt_transformer_num == 2
+    assert cfg.encoder.hidden_size == 768
+    assert cfg.encoder.intermediate_size == 3072
+
+
+def test_flag_overrides_flow_through():
+    cfg = parse(["--choice_modality", "V", "--doEval", "0",
+                 "--trg_lr", "1e-3", "--hidden_size", "64",
+                 "--num_attention_heads", "4", "--intermediate_size", "128",
+                 "--crossmodal_layers_TA", "3", "--patience", "5",
+                 "--uttORdia", "dia", "--modalityFuse", "concat",
+                 "--compute_dtype", "float32", "--deterministic_gumbel", "1",
+                 "--dp", "4", "--tp", "2", "--seed", "7"])
+    assert cfg.choice_modality == "V"
+    assert cfg.do_eval is False
+    assert np.isclose(cfg.optim.trg_lr, 1e-3)
+    assert cfg.hidden_size == 64
+    assert cfg.encoder.hidden_size == 64
+    assert cfg.crossmodal_ta.embed_dim == 64
+    assert cfg.crossmodal_ta.layers == 3
+    assert cfg.optim.patience == 5
+    assert cfg.granularity == "dia"
+    assert cfg.modality_fuse == "concat"
+    assert cfg.runtime.compute_dtype == "float32"
+    assert cfg.runtime.deterministic_gumbel is True
+    assert cfg.parallel.dp == 4 and cfg.parallel.tp == 2
+    assert cfg.runtime.seed == 7
+
+
+def test_text_config_resolution():
+    from facialmmt_tpu.config import resolve_text_config
+
+    roberta = resolve_text_config(parse(["--plm_name", "roberta-large"]))
+    assert roberta.model_type == "roberta" and roberta.pad_token_id == 1
+    bert = resolve_text_config(parse(["--plm_name", "bert-large"]))
+    assert bert.model_type == "bert" and bert.vocab_size == 30522
+    assert bert.layer_norm_eps == 1e-12
+
+
+def test_adapt_static_shapes_from_dataset():
+    from facialmmt_tpu.main import _adapt_static_shapes
+
+    class FakeVisionDs:
+        max_utt_len = 17
+        feat_dim = 99
+
+    cfg = _adapt_static_shapes(parse([]), FakeVisionDs())
+    assert cfg.data.vision_utt_max_len == 17
+    assert cfg.data.vision_feat_dim == 99
+
+    class FakeMultimodalDs:
+        audio_max_utt_len = 31
+        audio_feat_dim = 12
+        vision_max_utt_len = 9
+        vision_feat_dim = 44
+
+    cfg = _adapt_static_shapes(parse([]), FakeMultimodalDs())
+    assert cfg.data.audio_utt_max_len == 31
+    assert cfg.data.audio_feat_dim == 12
+    assert cfg.data.vision_utt_max_len == 9
+    assert cfg.data.vision_feat_dim == 44
