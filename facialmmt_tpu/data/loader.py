@@ -64,16 +64,28 @@ class PrefetchLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Timed put so the worker exits if the consumer abandons the epoch
+            (a plain q.put would block forever on the bounded queue)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for indices, n_valid in plan:
                     if stop.is_set():
                         return
-                    q.put((self.make_batch(indices), n_valid))
+                    if not put((self.make_batch(indices), n_valid)):
+                        return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -239,3 +239,23 @@ SwinTransformer:
     assert cfg.depths == (2, 2, 6, 2)
     assert cfg.num_heads == (3, 6, 12, 24)
     assert cfg.drop_path_rate == 0.3
+
+
+def test_prefetch_loader_abandoned_epoch_releases_worker():
+    """Closing the epoch generator mid-stream must unblock and stop the
+    worker thread (timed puts; a plain q.put would leak it)."""
+    import threading
+    import time as _time
+
+    from facialmmt_tpu.data.loader import PrefetchLoader
+
+    before = threading.active_count()
+    loader = PrefetchLoader(lambda idx: np.asarray(idx), 100, 2,
+                            shuffle=False, prefetch=1)
+    gen = loader.epoch(0)
+    next(gen)  # consume one batch, then abandon
+    gen.close()
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
