@@ -138,6 +138,15 @@ class TextEncoderConfig:
             type_vocab_size=2, pad_token_id=0, layer_norm_eps=1e-12)
 
     @staticmethod
+    def chinese_roberta_large() -> "TextEncoderConfig":
+        """chinese-roberta-wwm-ext-large — a BERT-architecture model the
+        appendix loads via BertModel for M3ED (reference
+        (Appendix)CCAC2023/main.py:20, src/models.py with BertModel)."""
+        return TextEncoderConfig(
+            model_type="bert", vocab_size=21128, max_position_embeddings=512,
+            type_vocab_size=2, pad_token_id=0, layer_norm_eps=1e-12)
+
+    @staticmethod
     def tiny(model_type: str = "roberta") -> "TextEncoderConfig":
         """Small config for tests / dry-runs."""
         return TextEncoderConfig(
@@ -293,4 +302,6 @@ def resolve_text_config(cfg: FacialMMTConfig) -> TextEncoderConfig:
         return TextEncoderConfig.roberta_large()
     if cfg.plm_name == "bert-large":
         return TextEncoderConfig.bert_large()
+    if cfg.plm_name == "chinese-roberta-large":
+        return TextEncoderConfig.chinese_roberta_large()
     return cfg.text

@@ -30,7 +30,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_load_path", type=str, default="preprocess_data")
     p.add_argument("--save_Model_path", type=str, default="saved_model")
     p.add_argument("--plm_name", type=str, default="roberta-large",
-                   choices=["roberta-large", "bert-large"])
+                   choices=["roberta-large", "bert-large",
+                            "chinese-roberta-large"])
     p.add_argument("--choice_modality", type=str, default="T+A+V",
                    choices=["T+A+V", "V", "T+A", "T+V"])
     # aff-wild2 (reference main.py:27-32)
@@ -87,9 +88,34 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["utt", "dia"])
     p.add_argument("--patience", type=int, default=0,
                    help="early stopping on val loss; 0 disables")
+    p.add_argument("--load_best_model_path", type=str, default="",
+                   help="orbax checkpoint dir for dia-level doEval "
+                        "(reference (Appendix)CCAC2023/main.py:90); defaults "
+                        "to --save_Model_path")
+    p.add_argument("--submission_template", type=str,
+                   default="nustm_submission_empty.csv",
+                   help="competition CSV template; skipped when absent "
+                        "(reference (Appendix)CCAC2023/train.py:188)")
+    p.add_argument("--submission_out", type=str, default="",
+                   help="filled submission CSV path; defaults to "
+                        "<save_Model_path>/nustm_submission.csv")
+    p.add_argument("--pred_dump_path", type=str, default="",
+                   help="'pred true' dump file (reference "
+                        "(Appendix)CCAC2023/utils/eval_metrics.py:22-35)")
+    p.add_argument("--pretrainedtextmodel_path", type=str, default="",
+                   help="HF dir for the text tower tokenizer/weights, e.g. "
+                        "chinese-roberta-wwm-ext-large for M3ED (reference "
+                        "(Appendix)CCAC2023/main.py:20)")
     # TPU-native extensions
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--max_seq_length", type=int, default=512,
+                   help="dialogue token budget (reference hardcodes 512, "
+                        "src/meld_bert_extraText.py:9)")
+    p.add_argument("--text_preset", type=str, default="auto",
+                   choices=["auto", "tiny"],
+                   help="text tower size; 'auto' resolves from --plm_name, "
+                        "'tiny' is for tests/dry-runs")
     p.add_argument("--deterministic_gumbel", type=int, default=0)
     p.add_argument("--debug_nans", type=int, default=0)
     p.add_argument("--resume", type=int, default=0,
@@ -126,7 +152,8 @@ def config_from_args(args) -> "FacialMMTConfig":
                       data_load_path=args.data_load_path,
                       data_folder=args.data_folder,
                       anno_folder=args.anno_folder,
-                      data_list_train=args.data_list_train)
+                      data_list_train=args.data_list_train,
+                      max_seq_length=args.max_seq_length)
     optim = OptimConfig(num_epochs=args.num_epochs, aux_lr=args.aux_lr,
                         trg_lr=args.trg_lr, weight_decay=args.weight_decay,
                         warm_up=args.warm_up,
@@ -142,6 +169,12 @@ def config_from_args(args) -> "FacialMMTConfig":
                             trg_log_interval=args.trg_log_interval,
                             save_model_path=args.save_Model_path,
                             metrics_path=args.metrics_path)
+    kw = {}
+    if args.text_preset == "tiny":
+        from facialmmt_tpu.config import TextEncoderConfig
+
+        kw["text"] = TextEncoderConfig.tiny(
+            "roberta" if args.plm_name == "roberta-large" else "bert")
     return FacialMMTConfig(
         choice_modality=args.choice_modality, plm_name=args.plm_name,
         do_eval=bool(args.doEval), num_labels=args.num_labels,
@@ -156,7 +189,8 @@ def config_from_args(args) -> "FacialMMTConfig":
         load_unimodal_path=args.load_unimodal_path,
         load_multimodal_path=args.load_multimodal_path,
         load_swin_path=args.load_swin_path,
-        pretrained_backbone_path=args.pretrained_backbone_path)
+        pretrained_backbone_path=args.pretrained_backbone_path,
+        pretrained_text_model_path=args.pretrainedtextmodel_path, **kw)
 
 
 def _adapt_static_shapes(cfg, train_ds):
@@ -269,9 +303,14 @@ def run(argv=None) -> float:
         dia_trainer = DialogueTrainer(cfg, writer)
         dia_test = MeldDialogueDataset(test_ds)
         if cfg.do_eval:
-            raise NotImplementedError(
-                "dia-level doEval needs an orbax checkpoint dir; train first "
-                "with --uttORdia dia --doEval 0")
+            # reference (Appendix)CCAC2023/train.py:156-194: load best model,
+            # predict test in order, fill the submission CSV + pred/true dump
+            return dia_trainer.eval_dialogue_only(
+                dia_test,
+                ckpt_dir=args.load_best_model_path or None,
+                submission_template=args.submission_template,
+                submission_out=args.submission_out,
+                pred_dump_path=args.pred_dump_path)
         dia_train = MeldDialogueDataset(build_split("train"))
         dia_valid = MeldDialogueDataset(build_split("val"))
         return dia_trainer.run_dialogue(dia_train, dia_valid, dia_test)

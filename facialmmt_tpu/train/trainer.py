@@ -57,25 +57,30 @@ class Trainer:
         self.rng = jax.random.PRNGKey(cfg.runtime.seed)
         # device mesh: dp batches over 'data', tp text-tower kernels over
         # 'model' (parallel/mesh.py).  Single device => plan is a no-op.
-        self.plan = None
+        self.plan = self._build_plan(self._effective_batch())
+
+    def _effective_batch(self) -> int:
+        """Leading batch-axis size the mesh must divide (dp sharding)."""
+        opt = self.cfg.optim
+        return max(opt.trg_batch_size * opt.trg_accumulation_steps, 1)
+
+    def _build_plan(self, batch: int):
         n_dev = jax.device_count()
-        dp, tp = cfg.parallel.dp, cfg.parallel.tp
+        dp, tp = self.cfg.parallel.dp, self.cfg.parallel.tp
         if n_dev > 1 and (dp == -1 or dp > 1 or tp > 1):
             from facialmmt_tpu.parallel.mesh import build_mesh
 
             # batches shard on their leading axis, so dp must divide the
             # effective batch; with dp=-1 (use-all-devices) shrink to the
             # largest compatible ways instead of failing on small runs
-            batch = max(cfg.optim.trg_batch_size
-                        * cfg.optim.trg_accumulation_steps, 1)
             want_dp = (n_dev // tp) if dp == -1 else dp
             while want_dp > 1 and (batch % want_dp != 0
                                    or (n_dev // tp) % want_dp != 0):
                 want_dp -= 1
             if want_dp * tp > 1:
-                self.plan = build_mesh(
-                    dp=want_dp, tp=tp,
-                    devices=jax.devices()[:want_dp * tp])
+                return build_mesh(dp=want_dp, tp=tp,
+                                  devices=jax.devices()[:want_dp * tp])
+        return None
 
     def _next_rng(self):
         self.rng, out = jax.random.split(self.rng)
@@ -391,54 +396,71 @@ class Trainer:
 
 class DialogueTrainer(Trainer):
     """Dialogue-level experiment driver (appendix --uttORdia dia,
-    reference (Appendix)CCAC2023/train.py:100-152)."""
+    reference (Appendix)CCAC2023/train.py:100-194).
 
-    def run_dialogue(self, train_ds, valid_ds, test_ds,
-                     use_macro_f1: bool = True) -> float:
-        import jax as _jax
+    Runs over the same dp x tp mesh as the utterance-level trainer (the
+    reference has no distributed story — SURVEY.md §5.8 makes this the
+    framework's own bar)."""
 
+    def _effective_batch(self) -> int:
+        # one sample = one dialogue; no accumulation batching here
+        return max(self.cfg.optim.trg_batch_size, 1)
+
+    def _build_model(self):
         from facialmmt_tpu.models.dialogue import DialogueMultiModalTransformer
-        from facialmmt_tpu.train.metrics import macro_f1, weighted_f1
-        from facialmmt_tpu.train.steps import (make_dialogue_eval_step,
-                                               make_dialogue_train_step)
 
-        cfg, opt = self.cfg, self.cfg.optim
-        model = DialogueMultiModalTransformer(cfg, dtype=self.dtype)
-        bsz = max(opt.trg_batch_size, 1)
-        loader = PrefetchLoader(train_ds.get_batch, len(train_ds), bsz,
-                                shuffle=True, seed=cfg.runtime.seed)
-        total = max(opt.num_epochs * len(loader), 1)
-        tx = make_optimizer(opt, opt.trg_lr, total, opt.weight_decay)
+        return DialogueMultiModalTransformer(self.cfg, dtype=self.dtype)
 
-        sample = {k: jnp.asarray(v)
-                  for k, v in train_ds.get_batch([0] * bsz).items()}
-        params = _jax.jit(model.init, static_argnames=())(
+    def _init_dialogue_params(self, model, ds, bsz):
+        sample = {k: jnp.asarray(v) for k, v in ds.get_batch([0] * bsz).items()}
+        return jax.jit(model.init)(
             self._next_rng(), sample["dia_input_ids"],
             sample["dia_input_mask"], sample["dia_sep_mask"],
             sample["audio_inputs"], sample["audio_mask"],
             sample["vision_inputs"], sample["vision_mask"],
             sample["dia_mask"])["params"]
-        state = SingleTaskState.create(params, tx)
-        train_step = _jax.jit(make_dialogue_train_step(model, tx),
-                              donate_argnums=(0,))
-        eval_step = _jax.jit(make_dialogue_eval_step(model))
 
-        def evaluate(params, ds):
-            l = PrefetchLoader(ds.get_batch, len(ds), bsz, shuffle=False)
-            preds, trues = [], []
-            loss_sum, n_sum = 0.0, 0
-            for batch, n_valid in l.epoch(0):
-                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                logits, loss = eval_step(params, device_batch)
-                logits = np.asarray(logits)[:n_valid]
-                mask = np.asarray(batch["dia_mask"])[:n_valid].astype(bool)
-                labels = np.asarray(batch["labels"])[:n_valid]
-                preds.append(logits[mask].argmax(-1))
-                trues.append(labels[mask])
-                loss_sum += float(loss) * n_valid
-                n_sum += n_valid
-            return (np.concatenate(preds), np.concatenate(trues),
-                    loss_sum / max(n_sum, 1))
+    def _evaluate_dialogue(self, eval_step, params, ds, bsz):
+        """Returns (preds, trues, valid_logits, mean_loss); preds/logits are
+        mask-selected in dataset order — the utterance order the submission
+        CSV expects (reference (Appendix)CCAC2023/train.py:162-186)."""
+        l = PrefetchLoader(ds.get_batch, len(ds), bsz, shuffle=False)
+        preds, trues, logits_all = [], [], []
+        loss_sum, n_sum = 0.0, 0
+        for batch, n_valid in l.epoch(0):
+            device_batch = self._place_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()})
+            logits, loss = eval_step(params, device_batch)
+            logits = np.asarray(logits)[:n_valid]
+            mask = np.asarray(batch["dia_mask"])[:n_valid].astype(bool)
+            labels = np.asarray(batch["labels"])[:n_valid]
+            logits_all.append(logits[mask])
+            preds.append(logits[mask].argmax(-1))
+            trues.append(labels[mask])
+            loss_sum += float(loss) * n_valid
+            n_sum += n_valid
+        return (np.concatenate(preds), np.concatenate(trues),
+                np.concatenate(logits_all), loss_sum / max(n_sum, 1))
+
+    def run_dialogue(self, train_ds, valid_ds, test_ds,
+                     use_macro_f1: bool = True) -> float:
+        from facialmmt_tpu.train.metrics import macro_f1, weighted_f1
+        from facialmmt_tpu.train.steps import (make_dialogue_eval_step,
+                                               make_dialogue_train_step)
+
+        cfg, opt = self.cfg, self.cfg.optim
+        model = self._build_model()
+        bsz = self._effective_batch()
+        loader = PrefetchLoader(train_ds.get_batch, len(train_ds), bsz,
+                                shuffle=True, seed=cfg.runtime.seed)
+        total = max(opt.num_epochs * len(loader), 1)
+        tx = make_optimizer(opt, opt.trg_lr, total, opt.weight_decay)
+
+        params = self._init_dialogue_params(model, train_ds, bsz)
+        state = self._place_state(SingleTaskState.create(params, tx))
+        train_step = jax.jit(make_dialogue_train_step(model, tx),
+                             donate_argnums=(0,))
+        eval_step = jax.jit(make_dialogue_eval_step(model))
 
         metric = macro_f1 if use_macro_f1 else weighted_f1
         ckpt = CheckpointManager(cfg.runtime.save_model_path)
@@ -447,10 +469,12 @@ class DialogueTrainer(Trainer):
         patience_counter = 0
         for epoch in range(1, opt.num_epochs + 1):
             for batch, _ in loader.epoch(epoch):
-                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                device_batch = self._place_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()})
                 state, loss = train_step(state, device_batch,
                                          self._next_rng())
-            preds, trues, val_loss = evaluate(state.params, valid_ds)
+            preds, trues, _, val_loss = self._evaluate_dialogue(
+                eval_step, state.params, valid_ds, bsz)
             val_f1 = metric(trues, preds)
             self.writer.log_eval(epoch, 0.0, val_f1)
             if val_f1 > best_f1:
@@ -468,7 +492,54 @@ class DialogueTrainer(Trainer):
                         break
 
         best = ckpt.restore_best({"params": state.params})
-        preds, trues, _ = evaluate(best["params"], test_ds)
+        preds, trues, _, _ = self._evaluate_dialogue(
+            eval_step, best["params"], test_ds, bsz)
+        test_f1 = metric(trues, preds)
+        self.writer.log_test(test_f1)
+        return test_f1
+
+    def eval_dialogue_only(self, test_ds, ckpt_dir: Optional[str] = None,
+                           submission_template: str = "",
+                           submission_out: str = "",
+                           pred_dump_path: str = "",
+                           use_macro_f1: bool = True) -> float:
+        """doEval path for the dia-level model (reference
+        (Appendix)CCAC2023/train.py:156-194): restore the best checkpoint,
+        predict the test split in order, fill the competition submission CSV
+        (argmax -> emotion names) and write the 'pred true' dump."""
+        import os
+
+        from facialmmt_tpu.train.metrics import macro_f1, weighted_f1
+        from facialmmt_tpu.train.steps import make_dialogue_eval_step
+        from facialmmt_tpu.utils.submission import (write_pred_true_dump,
+                                                    write_submission_csv)
+
+        cfg = self.cfg
+        model = self._build_model()
+        bsz = self._effective_batch()
+        params = self._init_dialogue_params(model, test_ds, bsz)
+        ckpt = CheckpointManager(ckpt_dir or cfg.runtime.save_model_path)
+        params = jax.tree.map(
+            jnp.asarray, ckpt.restore_best({"params": params})["params"])
+        if self.plan is not None:
+            from facialmmt_tpu.parallel.mesh import replicate
+
+            params = jax.device_put(
+                params, jax.tree.map(lambda _: replicate(self.plan), params))
+        eval_step = jax.jit(make_dialogue_eval_step(model))
+
+        preds, trues, logits, _ = self._evaluate_dialogue(
+            eval_step, params, test_ds, bsz)
+        if submission_template and os.path.exists(submission_template):
+            out = submission_out or os.path.join(
+                cfg.runtime.save_model_path, "nustm_submission.csv")
+            write_submission_csv(logits, submission_template, out)
+            print(f"submission written: {out}")
+        if pred_dump_path:
+            correct = write_pred_true_dump(preds, trues, pred_dump_path)
+            print(f"pred/true dump: {pred_dump_path} "
+                  f"({correct}/{len(preds)} correct)")
+        metric = macro_f1 if use_macro_f1 else weighted_f1
         test_f1 = metric(trues, preds)
         self.writer.log_test(test_f1)
         return test_f1

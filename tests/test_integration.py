@@ -145,3 +145,73 @@ def test_trainer_multimodal_multitask_epoch(tmp_path, rng):
     assert 0.0 <= test_f1 <= 1.0
     assert any(s.startswith("best_")
                for s in os.listdir(tmp_path / "saved"))
+
+
+def _write_text_caches(tmp_path, splits, max_seq_length=64):
+    """Pre-populate the CLI's tokenized-text npz cache so the T+A+V CLI paths
+    run without a HF tokenizer (main.py build_split)."""
+    from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
+
+    tok = WhitespaceTokenizer()
+    prep = MeldTextPreprocessor(tok, is_roberta=True,
+                                max_seq_length=max_seq_length)
+    for split in splits:
+        feats = prep.preprocess_split(
+            os.path.join(tmp_path, f"{split}_sent_emo.csv"),
+            os.path.join(tmp_path, f"{split}_text.json"))
+        ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
+        np.savez(os.path.join(tmp_path, "T+A+V",
+                              f"text_{split}_roberta-large.npz"),
+                 ids=ids, mask=mask, sep=sep)
+
+
+def test_cli_dialogue_train_then_doeval_submission(tmp_path):
+    """The full appendix dia-level CLI flow (reference
+    (Appendix)CCAC2023/train.py:100-194): train --uttORdia dia, then doEval
+    restores the best checkpoint, fills the competition submission CSV from the
+    template and writes the pred/true dump."""
+    import csv
+
+    splits = ("train", "val", "test")
+    for split in splits:
+        write_meld_fixture(str(tmp_path), split=split, seed=hash(split) % 100)
+    _write_text_caches(tmp_path, splits)
+
+    common = ["--choice_modality", "T+A+V", "--uttORdia", "dia",
+              "--text_preset", "tiny", "--max_seq_length", "64",
+              "--crossmodal_num_heads_TA", "4",
+              "--crossmodal_num_heads_TA_V", "4",
+              "--trg_batch_size", "2"]
+    f1_train = _cli(tmp_path, common + ["--doEval", "0", "--num_epochs", "1",
+                                        "--trg_lr", "1e-3"])
+    assert 0.0 <= f1_train <= 1.0
+    assert any(s.startswith("best_")
+               for s in os.listdir(tmp_path / "saved_model"))
+
+    # submission template: one row per test utterance (9 in the fixture)
+    template = tmp_path / "nustm_submission_empty.csv"
+    with open(template, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "emotion"])
+        for i in range(9):
+            w.writerow([i, ""])
+
+    out_csv = tmp_path / "nustm_submission.csv"
+    dump = tmp_path / "pred_true.txt"
+    f1_eval = _cli(tmp_path, common + [
+        "--doEval", "1",
+        "--load_best_model_path", str(tmp_path / "saved_model"),
+        "--submission_template", str(template),
+        "--submission_out", str(out_csv),
+        "--pred_dump_path", str(dump)])
+    assert 0.0 <= f1_eval <= 1.0
+
+    from facialmmt_tpu.utils.submission import M3ED_EMOTIONS
+
+    with open(out_csv, newline="") as f:
+        rows = list(csv.reader(f))[1:]
+    assert len(rows) == 9
+    assert all(r[1] in M3ED_EMOTIONS for r in rows)
+    with open(dump) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 9

@@ -146,3 +146,47 @@ def test_trainer_unimodal_on_dp_mesh(tmp_path, rng):
                                MeldVisionDataset(str(tmp_path), "val"),
                                MeldVisionDataset(str(tmp_path), "test"))
     assert 0.0 <= wf1 <= 1.0
+
+
+def test_trainer_dialogue_on_dp_mesh(tmp_path):
+    """Dia-level training over a dp mesh: DialogueTrainer places state and
+    batches via the same mesh plan as the utterance-level trainer."""
+    import dataclasses
+    import os
+
+    from facialmmt_tpu.config import OptimConfig, ParallelConfig, RuntimeConfig
+    from facialmmt_tpu.data.meld import (MeldDialogueDataset,
+                                         MeldMultimodalDataset, MeldTextArrays)
+    from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
+    from facialmmt_tpu.train.trainer import DialogueTrainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+    from tests.fixtures import WhitespaceTokenizer, write_meld_fixture
+
+    tok = WhitespaceTokenizer()
+    prep = MeldTextPreprocessor(tok, is_roberta=True, max_seq_length=64)
+
+    def build(split):
+        write_meld_fixture(str(tmp_path), split=split, num_dia=4,
+                           utts_per_dia=3, seed=hash(split) % 50)
+        feats = prep.preprocess_split(
+            os.path.join(tmp_path, f"{split}_sent_emo.csv"),
+            os.path.join(tmp_path, f"{split}_text.json"))
+        ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
+        base = MeldMultimodalDataset(str(tmp_path), split,
+                                     MeldTextArrays(ids, mask, sep))
+        return MeldDialogueDataset(base)
+
+    cfg = FacialMMTConfig.tiny()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, max_seq_length=64),
+        parallel=ParallelConfig(dp=4, tp=1),
+        optim=OptimConfig(num_epochs=1, trg_batch_size=4, trg_lr=1e-3,
+                          warm_up=0.0),
+        runtime=RuntimeConfig(save_model_path=str(tmp_path / "saved"),
+                              compute_dtype="float32", metrics_path="",
+                              trg_log_interval=1000))
+    trainer = DialogueTrainer(cfg, MetricWriter("", also_print=False))
+    assert trainer.plan is not None
+    assert trainer.plan.mesh.shape == {"data": 4, "model": 1}
+    f1 = trainer.run_dialogue(build("train"), build("val"), build("test"))
+    assert 0.0 <= f1 <= 1.0
