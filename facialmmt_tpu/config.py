@@ -65,6 +65,9 @@ class SwinConfig:
     patch_norm: bool = True
     ape: bool = False
     remat: bool = True   # jax.checkpoint each block in the backward pass
+    attention_impl: str = "xla"  # 'xla' | 'pallas' | 'auto' — window-attention
+                                 # kernel (ops/pallas/window_attention.py);
+                                 # measured at XLA parity on v5e, default xla
     out_feature_dim: int = 512  # LN -> flatten -> Linear(49*768, 512) -> BatchNorm1d
                                 # (reference Swin_Transformer.py:491-494)
 
@@ -250,6 +253,13 @@ class FacialMMTConfig:
     vision_utt_transformer_num: int = 2
     modality_fuse: str = "crossmodal"  # 'crossmodal' | 'concat' (appendix main.py:43)
     granularity: str = "utt"           # 'utt' | 'dia'       (appendix --uttORdia)
+    swin_from_target: bool = False     # True = joint training: target-task
+                                       # grads DO update Swin.  False = the
+                                       # reference's two-optimizer coupling
+                                       # (grads into Swin computed then
+                                       # discarded, reference train.py:305-340)
+    text_fused_attention: str = ""     # override TextEncoderConfig.fused_attention
+                                       # ('auto'|'on'|'off'); '' = config default
 
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     crossmodal_ta: CrossModalConfig = field(default_factory=CrossModalConfig)
@@ -297,11 +307,16 @@ def resolve_text_config(cfg: FacialMMTConfig) -> TextEncoderConfig:
     """Pick the text tower config from --plm_name the way the reference keys off the
     checkpoint directory name (reference src/models.py:49-52)."""
     if cfg.text.hidden_size != 1024:
-        return cfg.text  # explicitly overridden (tests / tiny configs)
-    if cfg.plm_name == "roberta-large":
-        return TextEncoderConfig.roberta_large()
-    if cfg.plm_name == "bert-large":
-        return TextEncoderConfig.bert_large()
-    if cfg.plm_name == "chinese-roberta-large":
-        return TextEncoderConfig.chinese_roberta_large()
-    return cfg.text
+        tc = cfg.text  # explicitly overridden (tests / tiny configs)
+    elif cfg.plm_name == "roberta-large":
+        tc = TextEncoderConfig.roberta_large()
+    elif cfg.plm_name == "bert-large":
+        tc = TextEncoderConfig.bert_large()
+    elif cfg.plm_name == "chinese-roberta-large":
+        tc = TextEncoderConfig.chinese_roberta_large()
+    else:
+        tc = cfg.text
+    if cfg.text_fused_attention:
+        tc = dataclasses.replace(tc,
+                                 fused_attention=cfg.text_fused_attention)
+    return tc

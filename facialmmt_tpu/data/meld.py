@@ -108,6 +108,28 @@ class MeldMultimodalDataset:
                                f"{split}_facseqs_160_paths_final.json"),
                   encoding="utf8") as f:
             self.utt_face_path = json.load(f)
+        self._check_face_mask_consistency()
+
+    def _check_face_mask_consistency(self):
+        """The reference drives Swin input off the face-path counts and the
+        filter fallback off the pkl vision mask, silently assuming they agree
+        (reference train.py:60-71 vs :122-133).  Assert that assumption loudly
+        at load time so a disagreeing dataset can't drift parity."""
+        f_max = self.vision.shape[1]
+        mask_counts = self.vision_mask.sum(axis=1)
+        bad = []
+        for i_str, prof in self.utt_profile.items():
+            name = prof[0]
+            n_paths = min(len(self.utt_face_path.get(name, [])), f_max)
+            if n_paths != int(mask_counts[int(i_str)]):
+                bad.append((name, n_paths, int(mask_counts[int(i_str)])))
+        if bad:
+            head = ", ".join(f"{n}: {p} paths vs mask {m}"
+                             for n, p, m in bad[:5])
+            raise ValueError(
+                f"{self.split}: face-path counts disagree with the pkl "
+                f"vision mask for {len(bad)} utterance(s) ({head}) — the "
+                f"reference assumes these are equal (train.py:60-133)")
 
     def __len__(self):
         return self.vision.shape[0]

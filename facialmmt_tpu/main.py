@@ -33,7 +33,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["roberta-large", "bert-large",
                             "chinese-roberta-large"])
     p.add_argument("--choice_modality", type=str, default="T+A+V",
-                   choices=["T+A+V", "V", "T+A", "T+V"])
+                   choices=["T+A+V", "V", "T+A", "T+V", "T"])
     # aff-wild2 (reference main.py:27-32)
     p.add_argument("--data_folder", type=str, default="")
     p.add_argument("--anno_folder", type=str, default="")
@@ -116,6 +116,18 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["auto", "tiny"],
                    help="text tower size; 'auto' resolves from --plm_name, "
                         "'tiny' is for tests/dry-runs")
+    p.add_argument("--swin_from_target", type=int, default=0,
+                   help="1 = joint training (target grads update Swin); "
+                        "0 = the reference's discard semantics "
+                        "(reference train.py:305-340)")
+    p.add_argument("--swin_attention_impl", type=str, default="xla",
+                   choices=["xla", "pallas", "auto"],
+                   help="Swin window-attention kernel "
+                        "(ops/pallas/window_attention.py)")
+    p.add_argument("--fused_text_attention", type=str, default="",
+                   choices=["", "auto", "on", "off"],
+                   help="Pallas fused attention for the text tower "
+                        "(ops/pallas/attention.py); '' = config default")
     p.add_argument("--deterministic_gumbel", type=int, default=0)
     p.add_argument("--debug_nans", type=int, default=0)
     p.add_argument("--resume", type=int, default=0,
@@ -175,6 +187,10 @@ def config_from_args(args) -> "FacialMMTConfig":
 
         kw["text"] = TextEncoderConfig.tiny(
             "roberta" if args.plm_name == "roberta-large" else "bert")
+    if args.swin_attention_impl != "xla":
+        from facialmmt_tpu.config import SwinConfig
+
+        kw["swin"] = SwinConfig(attention_impl=args.swin_attention_impl)
     return FacialMMTConfig(
         choice_modality=args.choice_modality, plm_name=args.plm_name,
         do_eval=bool(args.doEval), num_labels=args.num_labels,
@@ -183,6 +199,8 @@ def config_from_args(args) -> "FacialMMTConfig":
         audio_utt_transformer_num=args.audio_utt_Transformernum,
         vision_utt_transformer_num=args.vision_utt_Transformernum,
         modality_fuse=args.modalityFuse, granularity=args.uttORdia,
+        swin_from_target=bool(args.swin_from_target),
+        text_fused_attention=args.fused_text_attention,
         encoder=enc, crossmodal_ta=cm_ta, crossmodal_ta_v=cm_tav,
         data=data, optim=optim, runtime=runtime,
         parallel=ParallelConfig(dp=args.dp, tp=args.tp),
@@ -262,6 +280,42 @@ def run(argv=None) -> float:
         train_ds = MeldVisionDataset(cfg.data.data_load_path, "train")
         valid_ds = MeldVisionDataset(cfg.data.data_load_path, "val")
         return trainer.run_unimodal(train_ds, valid_ds, test_ds)
+
+    if cfg.choice_modality == "T":
+        # appendix text-only path (reference
+        # (Appendix)CCAC2023/utils/dataset.py:112-147 + data_bert_extraText.py)
+        from facialmmt_tpu.data.m3ed import M3edTextDataset
+        from facialmmt_tpu.train.trainer import TextTrainer
+
+        def build_text(split):
+            cache = os.path.join(cfg.data.data_load_path, "T",
+                                 f"text_{split}_{cfg.plm_name}_m3ed.npz")
+            if os.path.exists(cache):
+                z = np.load(cache)
+                return M3edTextDataset(z["ids"], z["mask"], z["sep"],
+                                       z["labels"])
+            from transformers import AutoTokenizer
+
+            from facialmmt_tpu.data.text_prep import M3edTextPreprocessor
+
+            tok = AutoTokenizer.from_pretrained(
+                cfg.pretrained_text_model_path or cfg.plm_name)
+            prep = M3edTextPreprocessor(tok, cfg.data.max_seq_length)
+            feats = prep.preprocess_split(
+                os.path.join(cfg.data.meld_text_path,
+                             f"{split}_utt_text_noEmo.json"))
+            ids, mask, sep, labels = M3edTextPreprocessor.to_arrays(feats)
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez(cache, ids=ids, mask=mask, sep=sep, labels=labels)
+            return M3edTextDataset(ids, mask, sep, labels)
+
+        text_trainer = TextTrainer(cfg, writer)
+        if cfg.do_eval:
+            return text_trainer.eval_text_only(
+                build_text("test"),
+                ckpt_dir=args.load_best_model_path or None)
+        return text_trainer.run_text(build_text("train"), build_text("val"),
+                                     build_text("test"))
 
     # T+A+V (and appendix subsets)
     from facialmmt_tpu.data.meld import MeldMultimodalDataset, MeldTextArrays

@@ -110,7 +110,12 @@ class MultiModalTransformerForClassification(nn.Module):
 
         pool = AdditiveAttention(h, h, dtype=self.dtype, name="attention")
 
-        if cfg.modality_fuse == "crossmodal":
+        if not use_audio and not use_vision:
+            # text-only (appendix choice_modality 'T', reference
+            # (Appendix)CCAC2023/utils/dataset.py:112-147 feeds only the text
+            # tower): span-extracted utterance tokens -> pool -> classifier
+            pooled, _ = pool(text_feat, text_mask)
+        elif cfg.modality_fuse == "crossmodal":
             if use_audio:
                 cm_ta = self._crossmodal(cfg.crossmodal_ta, "CrossModalTrans_TA")
                 t_x_a = cm_ta(text_feat, audio_trans, audio_trans,

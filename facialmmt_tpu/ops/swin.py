@@ -194,6 +194,7 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    fused_attention: str = "off"   # WindowAttention.fused
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -218,7 +219,8 @@ class SwinBlock(nn.Module):
             mask = None
         attn = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias,
-            self.attn_drop, self.drop, dtype=self.dtype, name="attn")(
+            self.attn_drop, self.drop, fused=self.fused_attention,
+            dtype=self.dtype, name="attn")(
                 xw, mask, deterministic=deterministic)
 
         x = window_reverse(attn, ws, h, w)
@@ -331,7 +333,10 @@ class SwinTransformer(nn.Module):
                     shift_size=0 if d % 2 == 0 else cfg.window_size // 2,
                     mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
                     drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
-                    drop_path=float(dpr[blk_i]), dtype=self.dtype,
+                    drop_path=float(dpr[blk_i]),
+                    fused_attention={"xla": "off", "pallas": "on",
+                                     "auto": "auto"}[cfg.attention_impl],
+                    dtype=self.dtype,
                     name=f"stage_{stage}_block_{d}")(x, deterministic)
                 blk_i += 1
             if stage < num_layers - 1:

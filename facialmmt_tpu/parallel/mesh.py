@@ -54,9 +54,14 @@ def batch_sharding(plan: MeshPlan) -> NamedSharding:
     return NamedSharding(plan.mesh, P(plan.data_axis))
 
 
-def shard_batch(plan: MeshPlan, batch: Any) -> Any:
-    """Place a host batch pytree onto the mesh, sharded on the leading axis."""
-    sh = batch_sharding(plan)
+def shard_batch(plan: MeshPlan, batch: Any, axis: int = 0) -> Any:
+    """Place a host batch pytree onto the mesh, data-sharded on `axis`
+    (axis=1 for the microbatch layout: (M, per-micro-batch, ...))."""
+    if axis == 0:
+        sh = batch_sharding(plan)
+    else:
+        spec = [None] * axis + [plan.data_axis]
+        sh = NamedSharding(plan.mesh, P(*spec))
 
     def place(x):
         return jax.device_put(x, sh)

@@ -79,6 +79,73 @@ def make_multimodal_train_step(model: FacialMMTPipeline, swin_tx, mm_tx,
     return step
 
 
+def make_multimodal_train_step_accum(model: FacialMMTPipeline, swin_tx, mm_tx,
+                                     *, swin_from_target: bool = True):
+    """Microbatch gradient-accumulation variant of the target step (the
+    reference's trg_accumulation_steps, main.py:60 + train.py:137-145, realized
+    as ONE jitted program): batch arrives with a leading microbatch axis M and
+    lax.scan walks the microbatches, accumulating gradients while only one
+    microbatch's activations are live.  This is what lets JOINT training
+    (swin_from_target=True — Swin backward over every face) fit device memory
+    at full effective batch.
+
+    The mean gradient equals the fused-batch step's exactly (equal-sized
+    microbatches); BatchNorm stats update sequentially per microbatch like the
+    reference's per-batch updates.
+    """
+
+    def micro_loss(params, batch_stats, micro, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, mutated = model.apply(
+            variables, micro, deterministic=False,
+            stop_swin_gradient=not swin_from_target,
+            rngs={"gumbel": rng, "dropout": jax.random.fold_in(rng, 1)},
+            mutable=["batch_stats"])
+        return cross_entropy(logits, micro["labels"]), mutated["batch_stats"]
+
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    def step(state: MultiTaskState, batches, rng):
+        m = jax.tree.leaves(batches)[0].shape[0]
+        rngs = jax.random.split(rng, m)
+
+        def body(carry, xs):
+            grads_acc, loss_acc, stats = carry
+            micro, micro_rng = xs
+            (loss, new_stats), grads = grad_fn(state.params, stats, micro,
+                                               micro_rng)
+            return (jax.tree.map(jnp.add, grads_acc, grads),
+                    loss_acc + loss, new_stats), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, loss, new_stats), _ = jax.lax.scan(
+            body, (zero, jnp.zeros(()), state.batch_stats), (batches, rngs))
+        grads = jax.tree.map(lambda g: g / m, grads)
+        loss = loss / m
+
+        mm_updates, mm_opt_state = mm_tx.update(
+            grads["multimodal"], state.mm_opt_state, state.params["multimodal"])
+        new_mm = optax.apply_updates(state.params["multimodal"], mm_updates)
+        if swin_from_target:
+            sw_updates, swin_opt_state = swin_tx.update(
+                grads["swin_model"], state.swin_opt_state,
+                state.params["swin_model"])
+            new_swin = optax.apply_updates(state.params["swin_model"],
+                                           sw_updates)
+            swin_step = state.swin_step + 1
+        else:
+            new_swin = state.params["swin_model"]
+            swin_opt_state = state.swin_opt_state
+            swin_step = state.swin_step
+        return state._replace(
+            params={"swin_model": new_swin, "multimodal": new_mm},
+            batch_stats=new_stats, mm_opt_state=mm_opt_state,
+            swin_opt_state=swin_opt_state, mm_step=state.mm_step + 1,
+            swin_step=swin_step), loss
+
+    return step
+
+
 def make_multimodal_eval_step(model: FacialMMTPipeline, *, sample_gumbel: bool):
     """Eval step.  The reference SAMPLES gumbel noise at eval (src/models.py:31-32
     under torch.no_grad); pass sample_gumbel=False for the deterministic variant
@@ -193,5 +260,42 @@ def make_dialogue_eval_step(model):
         loss = masked_cross_entropy(logits, batch["labels"],
                                     batch["dia_mask"])
         return logits, loss
+
+    return step
+
+
+# ----------------------------------------------------- text-only task (T) --
+
+def make_text_train_step(model, tx):
+    """Train step for the text-only path (appendix choice_modality 'T';
+    the model is MultiModalTransformerForClassification with both A and V
+    towers compiled out)."""
+
+    def loss_fn(params, batch, rng):
+        logits = model.apply(
+            {"params": params}, batch["dia_input_ids"],
+            batch["dia_input_mask"], batch["dia_sep_mask"],
+            utt_in_dia_idx=batch["utt_in_dia_idx"],
+            dia_idx=batch.get("dia_idx"),
+            deterministic=False, rngs={"dropout": rng})
+        return cross_entropy(logits, batch["labels"])
+
+    def step(state: SingleTaskState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return SingleTaskState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def make_text_eval_step(model):
+    def step(params, batch):
+        logits = model.apply(
+            {"params": params}, batch["dia_input_ids"],
+            batch["dia_input_mask"], batch["dia_sep_mask"],
+            utt_in_dia_idx=batch["utt_in_dia_idx"],
+            dia_idx=batch.get("dia_idx"))
+        return logits, cross_entropy(logits, batch["labels"])
 
     return step

@@ -118,3 +118,27 @@ def write_affwild_fixture(root, num_videos=2, frames=5, img_size=112, seed=0):
                                    dtype=np.uint8)
                 cv2.imwrite(os.path.join(vdir, f"{str(i).zfill(5)}.jpg"), img)
     return {"file_folder": file_folder, "anno_folder": anno_folder}
+
+
+def write_m3ed_text_fixture(root, split="train", num_dia=3, utts_per_dia=3,
+                            seed=0):
+    """{split}_utt_text_noEmo.json in the M3ED layout the appendix consumes:
+    {dia_id: {utt_id: {'text': str, 'label': int}}}."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    annot = {}
+    for d in range(num_dia):
+        dia = {}
+        for u in range(utts_per_dia):
+            n_words = int(rng.integers(2, 6))
+            dia[f"utt{u}"] = {
+                "text": " ".join(f"w{int(rng.integers(0, 40))}"
+                                 for _ in range(n_words)),
+                "label": int(rng.integers(0, 7)),
+            }
+        annot[f"dia{d}"] = dia
+    path = os.path.join(root, f"{split}_utt_text_noEmo.json")
+    with open(path, "w", encoding="utf8") as f:
+        json.dump(annot, f)
+    return {"path": path, "annot": annot,
+            "n_utt": num_dia * utts_per_dia}

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from facialmmt_tpu.config import FacialMMTConfig
 
@@ -122,3 +123,175 @@ def test_serving_fixed_latency_path(rng):
     for probs in out:
         assert probs.shape == (7,)
         np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-4)
+
+
+# --------------------------------------------------- M3ED text-only (A5/A6) --
+
+def _load_reference_m3ed_prep():
+    """Import the appendix's data_bert_extraText module standalone (avoids the
+    src-package name collision with the main reference tree)."""
+    import importlib.util
+
+    path = ("/root/reference/(Appendix)CCAC2023/src/data_bert_extraText.py")
+    spec = importlib.util.spec_from_file_location("ref_m3ed_prep", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _StubBertTokenizer:
+    """Whitespace tokenizer with the BertTokenizer.from_pretrained interface."""
+
+    def __init__(self):
+        self.vocab = {"[CLS]": 0, "[SEP]": 1, "[PAD]": 2}
+
+    @classmethod
+    def from_pretrained(cls, path):
+        return _SHARED_STUB_TOK
+
+    def tokenize(self, text):
+        return text.split()
+
+    def convert_tokens_to_ids(self, tokens):
+        for t in tokens:
+            if t not in self.vocab:
+                self.vocab[t] = len(self.vocab)
+        return [self.vocab[t] for t in tokens]
+
+
+_SHARED_STUB_TOK = _StubBertTokenizer.__new__(_StubBertTokenizer)
+_SHARED_STUB_TOK.vocab = {"[CLS]": 0, "[SEP]": 1, "[PAD]": 2}
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="no reference tree")
+def test_m3ed_text_prep_parity(tmp_path):
+    """Our M3edTextPreprocessor must reproduce the reference's
+    Data_Text.preprocess_data byte-for-byte (ids, mask, sep, label channel) —
+    reference (Appendix)CCAC2023/src/data_bert_extraText.py:57-124."""
+    import types
+
+    import numpy as np
+
+    from facialmmt_tpu.data.text_prep import M3edTextPreprocessor
+    from tests.fixtures import write_m3ed_text_fixture
+
+    fix = write_m3ed_text_fixture(str(tmp_path), split="train", num_dia=4,
+                                  utts_per_dia=5, seed=11)
+    ref_mod = _load_reference_m3ed_prep()
+    ref_mod.BertTokenizer = _StubBertTokenizer
+    args = types.SimpleNamespace(pretrainedtextmodel_path="unused")
+    ref = ref_mod.Data_Text(str(tmp_path), "train", args)
+    ref_features, ref_num_utt = ref.preprocess_data()
+
+    # same shared vocab for our side: reuse the stub the reference populated
+    prep = M3edTextPreprocessor(_SHARED_STUB_TOK, max_seq_length=512)
+    ours = prep.preprocess_split(fix["path"])
+
+    assert ref_num_utt == fix["n_utt"] == sum(
+        sum(f.sep_mask) for f in ours)
+    assert len(ours) == len(ref_features)
+    for got, want in zip(ours, ref_features):
+        np.testing.assert_array_equal(got.input_ids, want.input_ids)
+        np.testing.assert_array_equal(got.input_mask, want.input_mask)
+        np.testing.assert_array_equal(got.sep_mask, want.sep_mask)
+        np.testing.assert_array_equal(got.label_id, want.label_id)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="no reference tree")
+def test_m3ed_text_prep_parity_truncation(tmp_path):
+    """Same parity under forced truncation (long utterances > 512 budget)."""
+    import json
+    import types
+
+    import numpy as np
+
+    from facialmmt_tpu.data.text_prep import M3edTextPreprocessor
+
+    annot = {"dia0": {f"utt{u}": {
+        "text": " ".join(f"tok{u}_{i}" for i in range(200)),
+        "label": u % 7} for u in range(4)}}
+    path = tmp_path / "train_utt_text_noEmo.json"
+    with open(path, "w") as f:
+        json.dump(annot, f)
+
+    ref_mod = _load_reference_m3ed_prep()
+    ref_mod.BertTokenizer = _StubBertTokenizer
+    args = types.SimpleNamespace(pretrainedtextmodel_path="unused")
+    ref_features, _ = ref_mod.Data_Text(str(tmp_path), "train",
+                                        args).preprocess_data()
+    prep = M3edTextPreprocessor(_SHARED_STUB_TOK, max_seq_length=512)
+    ours = prep.preprocess_split(str(path))
+    for got, want in zip(ours, ref_features):
+        np.testing.assert_array_equal(got.input_ids, want.input_ids)
+        np.testing.assert_array_equal(got.sep_mask, want.sep_mask)
+        np.testing.assert_array_equal(got.label_id, want.label_id)
+
+
+def test_m3ed_text_dataset_labels(tmp_path):
+    """M3edTextDataset derives per-utterance labels from the label channel at
+    sep positions (reference utils/dataset.py:131-146)."""
+    import numpy as np
+
+    from facialmmt_tpu.data.m3ed import M3edTextDataset
+    from facialmmt_tpu.data.text_prep import M3edTextPreprocessor
+    from tests.fixtures import (WhitespaceTokenizer, write_m3ed_text_fixture)
+
+    fix = write_m3ed_text_fixture(str(tmp_path), num_dia=3, utts_per_dia=4,
+                                  seed=5)
+    tok = WhitespaceTokenizer(is_roberta=False)
+    prep = M3edTextPreprocessor(tok, max_seq_length=64)
+    ids, mask, sep, labels = M3edTextPreprocessor.to_arrays(
+        prep.preprocess_split(fix["path"]))
+    ds = M3edTextDataset(ids, mask, sep, labels)
+    assert len(ds) == fix["n_utt"]
+
+    # ground truth labels in utterance order
+    want = [fix["annot"][f"dia{d}"][f"utt{u}"]["label"]
+            for d in range(3) for u in range(4)]
+    got = [int(ds.get_batch([i])["labels"][0]) for i in range(len(ds))]
+    assert got == want
+
+    # batch with two utterances of the same dialogue dedups the dialogue row
+    b = ds.get_batch([0, 1, 4])
+    assert b["dia_input_ids"].shape[0] == 3
+    np.testing.assert_array_equal(b["dia_idx"], [0, 0, 1])
+    np.testing.assert_array_equal(b["utt_in_dia_idx"], [0, 1, 0])
+
+
+def test_cli_text_only_train_then_doeval(tmp_path):
+    """choice_modality T end-to-end through the CLI: train (best ckpt saved),
+    then doEval restores and reproduces a finite macro-F1."""
+    import numpy as np
+
+    from facialmmt_tpu.data.text_prep import M3edTextPreprocessor
+    from facialmmt_tpu.main import run
+    from tests.fixtures import (WhitespaceTokenizer, write_m3ed_text_fixture)
+
+    tok = WhitespaceTokenizer(is_roberta=False)
+    prep = M3edTextPreprocessor(tok, max_seq_length=64)
+    os.makedirs(tmp_path / "T", exist_ok=True)
+    for split in ("train", "val", "test"):
+        fix = write_m3ed_text_fixture(str(tmp_path), split=split,
+                                      seed=hash(split) % 100)
+        ids, mask, sep, labels = M3edTextPreprocessor.to_arrays(
+            prep.preprocess_split(fix["path"]))
+        np.savez(tmp_path / "T" / f"text_{split}_bert-large_m3ed.npz",
+                 ids=ids, mask=mask, sep=sep, labels=labels)
+
+    common = ["--data_load_path", str(tmp_path),
+              "--save_Model_path", str(tmp_path / "saved_model"),
+              "--metrics_path", str(tmp_path / "m.jsonl"),
+              "--hidden_size", "64", "--num_attention_heads", "4",
+              "--intermediate_size", "128", "--compute_dtype", "float32",
+              "--choice_modality", "T", "--plm_name", "bert-large",
+              "--text_preset", "tiny", "--max_seq_length", "64",
+              "--trg_batch_size", "3", "--trg_accumulation_steps", "1"]
+    f1 = run(common + ["--doEval", "0", "--num_epochs", "1",
+                       "--trg_lr", "1e-3"])
+    assert 0.0 <= f1 <= 1.0
+    assert any(s.startswith("best_")
+               for s in os.listdir(tmp_path / "saved_model"))
+    f1_eval = run(common + ["--doEval", "1"])
+    assert 0.0 <= f1_eval <= 1.0

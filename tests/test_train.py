@@ -162,3 +162,105 @@ def test_aux_step_updates_swin(rng):
     mm0 = jax.tree.leaves(state.params["multimodal"])
     mm1 = jax.tree.leaves(new_state.params["multimodal"])
     assert all(np.allclose(a, b) for a, b in zip(mm0, mm1))
+
+
+def test_multimodal_accum_step_matches_manual(rng):
+    """The microbatch-scan step (make_multimodal_train_step_accum) must produce
+    exactly the mean gradient / sequential batch_stats of an explicit Python
+    loop over the microbatches with the same per-micro rngs."""
+    import optax
+
+    from facialmmt_tpu.train.steps import (cross_entropy,
+                                           make_multimodal_train_step_accum)
+    from tests.test_models import make_multimodal_batch
+
+    cfg = CFG
+    m = 2
+    micros = [make_multimodal_batch(np.random.default_rng(7 + i), cfg, b=2)
+              for i in range(m)]
+    stacked = {k: jnp.stack([mi[k] for mi in micros]) for k in micros[0]}
+
+    model = FacialMMTPipeline(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        micros[0])
+    opt_cfg = OptimConfig(warm_up=0.0)
+    swin_tx = make_optimizer(opt_cfg, opt_cfg.aux_lr, 100)
+    mm_tx = make_optimizer(opt_cfg, opt_cfg.trg_lr, 100, opt_cfg.weight_decay)
+    state = MultiTaskState.create(variables["params"],
+                                  variables["batch_stats"], swin_tx, mm_tx)
+
+    step_rng = jax.random.PRNGKey(5)
+    step = jax.jit(make_multimodal_train_step_accum(
+        model, swin_tx, mm_tx, swin_from_target=True))
+    new_state, loss = step(state, stacked, step_rng)
+    assert np.isfinite(float(loss))
+
+    # manual re-derivation: per-micro grads with identical rngs, averaged
+    def micro_loss(params, batch_stats, micro, r):
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, micro,
+            deterministic=False, stop_swin_gradient=False,
+            rngs={"gumbel": r, "dropout": jax.random.fold_in(r, 1)},
+            mutable=["batch_stats"])
+        return cross_entropy(logits, micro["labels"]), mutated["batch_stats"]
+
+    rngs = jax.random.split(step_rng, m)
+    stats = state.batch_stats
+    grads_sum, loss_sum = None, 0.0
+    for i in range(m):
+        (l, stats), g = jax.value_and_grad(micro_loss, has_aux=True)(
+            state.params, stats, micros[i], rngs[i])
+        loss_sum += float(l)
+        grads_sum = g if grads_sum is None else jax.tree.map(
+            jnp.add, grads_sum, g)
+    grads = jax.tree.map(lambda x: x / m, grads_sum)
+    np.testing.assert_allclose(float(loss), loss_sum / m, rtol=1e-5)
+
+    mm_updates, _ = mm_tx.update(grads["multimodal"], state.mm_opt_state,
+                                 state.params["multimodal"])
+    want_mm = optax.apply_updates(state.params["multimodal"], mm_updates)
+    sw_updates, _ = swin_tx.update(grads["swin_model"], state.swin_opt_state,
+                                   state.params["swin_model"])
+    want_sw = optax.apply_updates(state.params["swin_model"], sw_updates)
+
+    for got, want in zip(jax.tree.leaves(new_state.params["multimodal"]),
+                         jax.tree.leaves(want_mm)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-6)
+    for got, want in zip(jax.tree.leaves(new_state.params["swin_model"]),
+                         jax.tree.leaves(want_sw)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-6)
+    for got, want in zip(jax.tree.leaves(new_state.batch_stats),
+                         jax.tree.leaves(stats)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-6)
+    # joint training: swin stepped
+    assert int(new_state.swin_step) == 1 and int(new_state.mm_step) == 1
+
+
+def test_multimodal_step_joint_updates_swin(rng):
+    """swin_from_target=True on the fused step: target grads now DO update
+    Swin (the explicit deviation knob, SURVEY.md §3.2)."""
+    from tests.test_models import make_multimodal_batch
+
+    cfg = CFG
+    batch = make_multimodal_batch(rng, cfg, b=2)
+    model = FacialMMTPipeline(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        batch)
+    opt_cfg = OptimConfig(warm_up=0.0)
+    swin_tx = make_optimizer(opt_cfg, opt_cfg.aux_lr, 100)
+    mm_tx = make_optimizer(opt_cfg, opt_cfg.trg_lr, 100)
+    state = MultiTaskState.create(variables["params"],
+                                  variables["batch_stats"], swin_tx, mm_tx)
+    step = jax.jit(make_multimodal_train_step(model, swin_tx, mm_tx,
+                                              swin_from_target=True))
+    new_state, loss = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    sw0 = jax.tree.leaves(state.params["swin_model"])
+    sw1 = jax.tree.leaves(new_state.params["swin_model"])
+    assert any(not np.allclose(a, b) for a, b in zip(sw0, sw1))
+    assert int(new_state.swin_step) == 1
