@@ -68,6 +68,8 @@ class SwinConfig:
     attention_impl: str = "xla"  # 'xla' | 'pallas' | 'auto' — window-attention
                                  # kernel (ops/pallas/window_attention.py);
                                  # measured at XLA parity on v5e, default xla
+    mlp_impl: str = "xla"        # 'xla' | 'pallas' | 'auto' — fused LN+MLP+res
+                                 # eval kernel (ops/pallas/block_mlp.py)
     out_feature_dim: int = 512  # LN -> flatten -> Linear(49*768, 512) -> BatchNorm1d
                                 # (reference Swin_Transformer.py:491-494)
 

@@ -135,8 +135,6 @@ class WindowAttention(nn.Module):
 
         qkv = SwinLinear(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                          name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         scale = hd ** -0.5
         table = self.param(
@@ -153,30 +151,44 @@ class WindowAttention(nn.Module):
             from facialmmt_tpu.ops.pallas.window_attention import \
                 fused_window_attention
 
+            qh = qkv[..., :c].reshape(b_, n, nh, hd)
+            kh = qkv[..., c:2 * c].reshape(b_, n, nh, hd)
+            vh = qkv[..., 2 * c:].reshape(b_, n, nh, hd)
             if mask is not None:
                 full_bias = bias[None] + mask.astype(jnp.float32)[:, None]
             else:
                 full_bias = bias[None]
             out = fused_window_attention(
-                (q * scale).transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), full_bias)
+                (qh * scale).transpose(0, 2, 1, 3),
+                kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3), full_bias)
             out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         else:
-            # fp32 score accumulation: bf16 accumulation was measured to give
-            # no in-context speedup on the full backbone (isolated attention
-            # subgraph gains don't materialize), so keep reference-closest
-            # numerics
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                              preferred_element_type=jnp.float32)
-            attn = attn + bias[None]
-            if mask is not None:
-                nw = mask.shape[0]
-                attn = attn.reshape(b_ // nw, nw, nh, n, n)
-                attn = attn + mask.astype(attn.dtype)[None, :, None]
-                attn = attn.reshape(b_, nh, n, n)
-            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b_, n, c)
+            # per-head LANE-SLICE attention: heads stay packed on the channel
+            # axis and each head's q/k/v is a static lane slice of the packed
+            # qkv output, so XLA never materializes the (b, h, n, d) transpose
+            # the einsum formulation needs.  Measured on v5e @ 256-image
+            # swin-tiny vs the einsum path (attention subgraph, per block):
+            # stage0 15.2->11.6 ms, stage1 7.6->5.7, stage2 4.2->2.0.
+            # fp32 score accumulation kept (reference-closest numerics; bf16
+            # scores measured only ~8% faster and cost parity headroom).
+            drop = nn.Dropout(self.attn_drop)
+            outs = []
+            for head in range(nh):
+                q = qkv[..., head * hd:(head + 1) * hd]
+                k = qkv[..., c + head * hd:c + (head + 1) * hd]
+                v = qkv[..., 2 * c + head * hd:2 * c + (head + 1) * hd]
+                s = jnp.einsum("bnd,bmd->bnm", q * scale, k,
+                               preferred_element_type=jnp.float32)
+                s = s + bias[head][None]
+                if mask is not None:
+                    nw = mask.shape[0]
+                    s = s.reshape(b_ // nw, nw, n, n)
+                    s = s + mask.astype(s.dtype)[None]
+                    s = s.reshape(b_, n, n)
+                p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+                p = drop(p, deterministic=deterministic)
+                outs.append(jnp.einsum("bnm,bmd->bnd", p, v))
+            out = jnp.concatenate(outs, axis=-1)
         out = SwinLinear(c, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
@@ -195,6 +207,7 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     fused_attention: str = "off"   # WindowAttention.fused
+    fused_mlp: str = "off"         # 'off' | 'on' | 'auto' — Pallas LN+MLP+res
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -231,12 +244,32 @@ class SwinBlock(nn.Module):
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(x, deterministic=deterministic)
 
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        y = SwinLinear(int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                       name="mlp_fc1")(y)
+        hid = int(self.dim * self.mlp_ratio)
+        ln2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        fc1 = SwinLinear(hid, dtype=self.dtype, name="mlp_fc1")
+        fc2 = SwinLinear(self.dim, dtype=self.dtype, name="mlp_fc2")
+        use_fused_mlp = (
+            self.fused_mlp == "on"
+            or (self.fused_mlp == "auto" and jax.default_backend() == "tpu"))
+        # the fused kernel is exact-eval-semantics only (dropout/drop_path are
+        # identity at eval); the training path keeps XLA autodiff
+        if use_fused_mlp and deterministic and not self.is_initializing():
+            from facialmmt_tpu.ops.pallas.block_mlp import \
+                fused_ln_mlp_residual
+
+            # params were created by the normal path at init; read them here
+            p = self.variables["params"]
+            out = fused_ln_mlp_residual(
+                x.reshape(-1, self.dim),
+                p["norm2"]["scale"], p["norm2"]["bias"],
+                p["mlp_fc1"]["kernel"], p["mlp_fc1"]["bias"],
+                p["mlp_fc2"]["kernel"], p["mlp_fc2"]["bias"])
+            return out.reshape(x.shape)
+        y = ln2(x)
+        y = fc1(y)
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dropout(self.drop)(y, deterministic=deterministic)
-        y = SwinLinear(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        y = fc2(y)
         y = nn.Dropout(self.drop)(y, deterministic=deterministic)
         return x + dp(y, deterministic=deterministic)
 
@@ -336,6 +369,8 @@ class SwinTransformer(nn.Module):
                     drop_path=float(dpr[blk_i]),
                     fused_attention={"xla": "off", "pallas": "on",
                                      "auto": "auto"}[cfg.attention_impl],
+                    fused_mlp={"xla": "off", "pallas": "on",
+                               "auto": "auto"}[cfg.mlp_impl],
                     dtype=self.dtype,
                     name=f"stage_{stage}_block_{d}")(x, deterministic)
                 blk_i += 1
