@@ -1,44 +1,42 @@
-"""Benchmark: flagship T+A+V inference throughput on one TPU chip.
+"""Benchmark: flagship T+A+V throughput on one TPU chip.
 
-Measures the fully-fused eval step — Swin-tiny FER over every face, gumbel +
-frame-importance filter, RoBERTa-large-architecture dialogue encoder over 512
-tokens, 768-d crossmodal fusion — in utterances/sec on the real chip.
+Two measurements, one JSON line:
+  * value / metric         — EVAL throughput (utterances/sec) of the fully-
+    fused eval step: Swin-tiny FER over every face, gumbel + frame-importance
+    filter, RoBERTa-large-architecture dialogue encoder over 512 tokens, 768-d
+    crossmodal fusion.
+  * train_utt_per_sec      — TRAIN throughput of the full multi-task target
+    step (forward + backward + AdamW; reference-semantics Swin coupling:
+    target grads into Swin are discarded, realized as stop_gradient, so the
+    Swin backward is skipped exactly as the reference's discard implies).
 
-Baseline: the reference publishes no throughput (BASELINE.md); it runs batch=1
-on one RTX 3090Ti with fp16, recomputing the full RoBERTa-large dialogue pass
-per utterance plus Swin over each face with per-face Python/cv2 preprocessing
-(reference train.py:154-243, SURVEY.md §3.1).  We estimate that loop at
-~10 utt/s on its hardware (RoBERTa-large fwd at 512 tokens ~25ms fp16 + Swin over
-~4 faces ~15ms + per-face host preprocessing); vs_baseline reports measured/10.
+Baseline: the reference publishes no throughput (BASELINE.md carries the
+component arithmetic); it runs batch=1 on one RTX 3090Ti with fp16,
+recomputing the full RoBERTa-large dialogue pass per utterance plus Swin over
+each face with per-face Python/cv2 preprocessing (reference train.py:154-243,
+SURVEY.md §3.1).  BASELINE.md estimates that loop at ~10-17 utt/s; vs_baseline
+divides by 10, the charitable (fast) end.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Measurement hygiene (CLAUDE.md): block_until_ready does not synchronize on the
+axon tunnel backend, so steps chain through a data dependency and ONE host
+readback at the end forces the full chain.
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-REFERENCE_UTT_PER_SEC = 10.0  # single-3090Ti bs=1 estimate, see docstring
+REFERENCE_UTT_PER_SEC = 10.0  # single-3090Ti bs=1 estimate, see BASELINE.md
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from facialmmt_tpu.config import FacialMMTConfig
-    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+def _eval_throughput(jax, jnp, model, cfg, batch_size):
     from __graft_entry__ import _make_batch
 
-    cfg = FacialMMTConfig()
-    model = FacialMMTPipeline(cfg, dtype=jnp.bfloat16)
-
-    # MELD test-set structure: ~9.3 utterances/dialogue (2610 utts / 280
-    # dialogues), ~8 face crops per utterance.  The batch carries the unique
-    # dialogues once (encode-once-gather-many) exactly as the real loader does.
-    import os as _os
-    batch_size = int(_os.environ.get("BENCH_BATCH", 64))
     batch = _make_batch(cfg, b=batch_size, utts_per_dia=8, faces_per_utt=8)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
@@ -49,31 +47,85 @@ def main():
         # carry folds the previous step's logits into this step's audio input:
         # a true data dependency that serializes steps, so the one host
         # readback at the end forces ALL device work to have completed.
-        # (block_until_ready does not synchronize on the axon tunnel backend.)
         b = dict(batch)
         b["audio_inputs"] = b["audio_inputs"] + carry * 1e-9
         logits = model.apply(variables, b, rngs={"gumbel": key})
         return logits, jnp.sum(logits).astype(jnp.float32)
 
     key = jax.random.PRNGKey(2)
-    # warmup / compile
     logits, carry = eval_step(variables, batch, key, jnp.float32(0))
-    float(carry)  # host readback = real sync
+    float(carry)  # host readback = real sync (compile + warmup)
 
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
         logits, carry = eval_step(variables, batch,
                                   jax.random.fold_in(key, i), carry)
-    float(carry)  # forces the whole chain
+    float(carry)
     dt = time.perf_counter() - t0
+    return batch_size * iters / dt, variables
 
-    utt_per_sec = batch_size * iters / dt
+
+def _train_throughput(jax, jnp, model, cfg, variables, batch_size):
+    from __graft_entry__ import _make_batch
+
+    from facialmmt_tpu.config import OptimConfig
+    from facialmmt_tpu.train.optim import MultiTaskState, make_optimizer
+    from facialmmt_tpu.train.steps import make_multimodal_train_step
+
+    batch = _make_batch(cfg, b=batch_size, utts_per_dia=8, faces_per_utt=8)
+    opt_cfg = OptimConfig(warm_up=0.0)
+    swin_tx = make_optimizer(opt_cfg, opt_cfg.aux_lr, 1000)
+    mm_tx = make_optimizer(opt_cfg, opt_cfg.trg_lr, 1000,
+                           opt_cfg.weight_decay)
+    state = MultiTaskState.create(variables["params"],
+                                  variables["batch_stats"], swin_tx, mm_tx)
+    step = jax.jit(make_multimodal_train_step(model, swin_tx, mm_tx),
+                   donate_argnums=(0,))
+
+    state, loss = step(state, batch, jax.random.PRNGKey(3))
+    float(loss)  # compile + warmup sync
+
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        # params chain step-to-step (donated state), serializing the steps;
+        # the final loss readback syncs the chain
+        state, loss = step(state, batch, jax.random.fold_in(
+            jax.random.PRNGKey(4), i))
+    float(loss)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from facialmmt_tpu.config import FacialMMTConfig
+    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+
+    cfg = FacialMMTConfig()
+    model = FacialMMTPipeline(cfg, dtype=jnp.bfloat16)
+
+    # MELD test-set structure: ~9.3 utterances/dialogue (2610 utts / 280
+    # dialogues), ~8 face crops per utterance.  The batch carries the unique
+    # dialogues once (encode-once-gather-many) exactly as the real loader does.
+    eval_batch = int(os.environ.get("BENCH_BATCH", 64))
+    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", 32))
+
+    eval_utt_s, variables = _eval_throughput(jax, jnp, model, cfg, eval_batch)
+    train_utt_s = _train_throughput(jax, jnp, model, cfg, variables,
+                                    train_batch)
+
     print(json.dumps({
         "metric": "meld_tav_eval_throughput",
-        "value": round(utt_per_sec, 2),
+        "value": round(eval_utt_s, 2),
         "unit": "utterances/sec/chip",
-        "vs_baseline": round(utt_per_sec / REFERENCE_UTT_PER_SEC, 2),
+        "vs_baseline": round(eval_utt_s / REFERENCE_UTT_PER_SEC, 2),
+        "eval_batch": eval_batch,
+        "train_utt_per_sec": round(train_utt_s, 2),
+        "train_batch": train_batch,
     }))
 
 

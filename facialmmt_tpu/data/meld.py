@@ -37,6 +37,32 @@ def _load_pickle(path: str):
         return pickle.load(f)
 
 
+def _cached_arrays(cache_path: str, sources: Sequence[str], build):
+    """Whole-dataset cache (reference utils/util.py:90-115 caches fully
+    preprocessed datasets to .dt torch pickles; here: one npz per split).
+
+    `build()` returns a dict[str, np.ndarray]; the npz is rebuilt whenever any
+    source file is newer than the cache.  Parsing the reference's pickles goes
+    through np.asarray over python lists — the slow step this removes on every
+    run after the first."""
+    try:
+        cache_mtime = os.path.getmtime(cache_path)
+        if all(os.path.getmtime(s) <= cache_mtime for s in sources):
+            with np.load(cache_path) as z:
+                return {k: z[k] for k in z.files}
+    except (OSError, ValueError):
+        pass
+    arrays = build()
+    try:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        tmp = cache_path + ".tmp.npz"  # savez appends .npz unless present
+        np.savez(tmp, **arrays)
+        os.replace(tmp, cache_path)
+    except OSError:
+        pass  # read-only data dir: run uncached
+    return arrays
+
+
 @dataclass
 class MeldTextArrays:
     input_ids: np.ndarray   # (num_dia, 512)
@@ -48,13 +74,23 @@ class MeldVisionDataset:
     """Unimodal V split (reference utils/dataset.py:160-189):
     V/meld_{split}_vision_utt.pkl -> features, masks, labels."""
 
-    def __init__(self, data_load_path: str, split: str):
+    def __init__(self, data_load_path: str, split: str, cache: bool = True):
         path = os.path.join(data_load_path, "V",
                             f"meld_{split}_vision_utt.pkl")
-        data = _load_pickle(path)[split]
-        self.features = np.asarray(data["vision"], np.float32)
-        self.mask = np.asarray(data["vision_utt_mask"], np.int32)
-        self.labels = np.asarray(data["labels"], np.int64)
+
+        def build():
+            data = _load_pickle(path)[split]
+            return {
+                "vision": np.asarray(data["vision"], np.float32),
+                "vision_mask": np.asarray(data["vision_utt_mask"], np.int32),
+                "labels": np.asarray(data["labels"], np.int64),
+            }
+
+        arrays = (_cached_arrays(path + ".npz", [path], build)
+                  if cache else build())
+        self.features = arrays["vision"]
+        self.mask = arrays["vision_mask"]
+        self.labels = arrays["labels"]
 
     def __len__(self):
         return self.features.shape[0]
@@ -83,23 +119,36 @@ class MeldMultimodalDataset:
                  text_arrays: MeldTextArrays,
                  choice_modality: str = "T+A+V",
                  face_root: str = "",
-                 load_faces: bool = True):
+                 load_faces: bool = True,
+                 cache: bool = True):
         base = os.path.join(data_load_path, choice_modality)
         self.split = split
         self.text = text_arrays
         self.load_faces = load_faces
         self.face_root = face_root
 
-        audio = _load_pickle(
-            os.path.join(base, f"meld_{split}_audio_utt.pkl"))[split]
-        self.audio = np.asarray(audio["audio"], np.float32)
-        self.audio_mask = np.asarray(audio["audio_utt_mask"], np.int32)
+        audio_pkl = os.path.join(base, f"meld_{split}_audio_utt.pkl")
+        vision_pkl = os.path.join(base, f"meld_{split}_vision_utt.pkl")
 
-        vision = _load_pickle(
-            os.path.join(base, f"meld_{split}_vision_utt.pkl"))[split]
-        self.vision = np.asarray(vision["vision"], np.float32)
-        self.vision_mask = np.asarray(vision["vision_utt_mask"], np.int32)
-        self.labels = np.asarray(vision["labels"], np.int64)
+        def build():
+            audio = _load_pickle(audio_pkl)[split]
+            vision = _load_pickle(vision_pkl)[split]
+            return {
+                "audio": np.asarray(audio["audio"], np.float32),
+                "audio_mask": np.asarray(audio["audio_utt_mask"], np.int32),
+                "vision": np.asarray(vision["vision"], np.float32),
+                "vision_mask": np.asarray(vision["vision_utt_mask"], np.int32),
+                "labels": np.asarray(vision["labels"], np.int64),
+            }
+
+        arrays = (_cached_arrays(
+            os.path.join(base, f"meld_{split}_features.npz"),
+            [audio_pkl, vision_pkl], build) if cache else build())
+        self.audio = arrays["audio"]
+        self.audio_mask = arrays["audio_mask"]
+        self.vision = arrays["vision"]
+        self.vision_mask = arrays["vision_mask"]
+        self.labels = arrays["labels"]
 
         with open(os.path.join(base, f"{split}_utt_profile.json"),
                   encoding="utf8") as f:

@@ -94,6 +94,38 @@ def window_reverse(windows: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
 
 
+def _window_layout_index(h: int, w: int, ws: int) -> np.ndarray:
+    """(H, W) grid position -> flat index in window layout (w*N + n)."""
+    i, j = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    win = (i // ws) * (w // ws) + (j // ws)
+    pos = (i % ws) * ws + (j % ws)
+    return win * (ws * ws) + pos
+
+
+def shifted_window_perms(h: int, w: int, ws: int,
+                         shift: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static permutations realizing cyclic-shift + re-partition entirely in
+    window layout.
+
+    The reference implements SW-MSA as roll(-s) -> window partition -> attn ->
+    reverse -> roll(+s) (reference Swin_Transformer.py:233-257).  All of that
+    is data movement: for tokens already in window layout (nW*N, C), the
+    pre-attention step is one row gather `x[perm]` and the post-attention step
+    its inverse `y[inv]`.  Eliminates two rolls and two reshape/transpose
+    round-trips per shifted block — and lets every block run window-resident
+    (the partition happens once per stage, ops/swin.py SwinTransformer).
+    """
+    base = _window_layout_index(h, w, ws)            # grid -> window-flat
+    # roll by -s: shifted grid (i, j) reads original grid ((i+s)%H, (j+s)%W)
+    i, j = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    src = base[(i + shift) % h, (j + shift) % w]
+    perm = np.zeros(h * w, np.int32)
+    perm[base] = src                                 # x_shifted = x[perm]
+    inv = np.zeros_like(perm)
+    inv[perm] = np.arange(h * w, dtype=np.int32)     # x = x_shifted[inv]
+    return perm, inv
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm semantics: scale by 1/keep_prob)."""
 
@@ -194,7 +226,17 @@ class WindowAttention(nn.Module):
 
 
 class SwinBlock(nn.Module):
-    """One (S)W-MSA + MLP block (reference Swin_Transformer.py:163-270)."""
+    """One (S)W-MSA + MLP block (reference Swin_Transformer.py:163-270).
+
+    WINDOW-RESIDENT: input/output are (B, H*W, C) in *window layout* — tokens
+    ordered (window, position-in-window), produced once per stage by
+    SwinTransformer.  LN/MLP are per-token (layout-agnostic); the reference's
+    roll -> partition -> attn -> reverse -> roll-back chain collapses to one
+    static row-gather before attention and its inverse after
+    (shifted_window_perms).  Non-shifted blocks need zero layout ops.
+    Measured on v5e (256-image swin-tiny): the grid-layout round-trip cost
+    ~2 ms/block; this removes it.
+    """
 
     dim: int
     input_resolution: tuple[int, int]
@@ -218,28 +260,27 @@ class SwinBlock(nn.Module):
         if min(h, w) <= ws:
             ws, shift = min(h, w), 0     # whole-input window (reference :192-195)
         b, l, c = x.shape
+        n = ws * ws
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        x = x.reshape(b, h, w, c)
         if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-        xw = window_partition(x, ws)
-
-        if shift > 0:
+            perm, inv = shifted_window_perms(h, w, ws, shift)
+            x = jnp.take(x, jnp.asarray(perm), axis=1)
             mask = jnp.asarray(shifted_window_mask(h, w, ws, shift))
         else:
             mask = None
+        xw = x.reshape(b * (l // n), n, c)
+
         attn = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias,
             self.attn_drop, self.drop, fused=self.fused_attention,
             dtype=self.dtype, name="attn")(
                 xw, mask, deterministic=deterministic)
 
-        x = window_reverse(attn, ws, h, w)
+        x = attn.reshape(b, l, c)
         if shift > 0:
-            x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = x.reshape(b, l, c)
+            x = jnp.take(x, jnp.asarray(inv), axis=1)
 
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(x, deterministic=deterministic)
@@ -359,9 +400,17 @@ class SwinTransformer(nn.Module):
                      if cfg.remat else SwinBlock)
         for stage in range(num_layers):
             stage_res = (res[0] // (2 ** stage), res[1] // (2 ** stage))
+            sh, sw = stage_res
+            ws_eff = min(cfg.window_size, sh, sw)
+            b = x.shape[0]
+            c_stage = int(dim * 2 ** stage)
+            # enter window layout ONCE for the whole stage (blocks are
+            # window-resident; see SwinBlock docstring)
+            x = window_partition(x.reshape(b, sh, sw, c_stage),
+                                 ws_eff).reshape(b, sh * sw, c_stage)
             for d in range(cfg.depths[stage]):
                 x = block_cls(
-                    dim=int(dim * 2 ** stage), input_resolution=stage_res,
+                    dim=c_stage, input_resolution=stage_res,
                     num_heads=cfg.num_heads[stage], window_size=cfg.window_size,
                     shift_size=0 if d % 2 == 0 else cfg.window_size // 2,
                     mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
@@ -374,9 +423,12 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype,
                     name=f"stage_{stage}_block_{d}")(x, deterministic)
                 blk_i += 1
+            x = window_reverse(
+                x.reshape(b * (sh * sw) // (ws_eff * ws_eff),
+                          ws_eff * ws_eff, c_stage),
+                ws_eff, sh, sw).reshape(b, sh * sw, c_stage)
             if stage < num_layers - 1:
-                x = PatchMerging(stage_res, int(dim * 2 ** stage),
-                                 dtype=self.dtype,
+                x = PatchMerging(stage_res, c_stage, dtype=self.dtype,
                                  name=f"stage_{stage}_downsample")(x)
 
         # head: LN -> flatten -> Linear(-> out_feature_dim) -> BatchNorm1d

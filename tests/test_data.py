@@ -290,3 +290,57 @@ def test_multimodal_dataset_rejects_mask_path_mismatch(tmp_path):
                             np.zeros((n_dia, 8), np.int32))
     with pytest.raises(ValueError, match="disagree with the pkl vision mask"):
         MeldMultimodalDataset(str(tmp_path), "test", arrays)
+
+
+def test_whole_dataset_cache_roundtrip_and_invalidation(tmp_path):
+    """Whole-dataset npz cache (reference utils/util.py:90-115 caches
+    preprocessed datasets to .dt files): second construction must read the
+    cache and produce identical arrays; rewriting a source pkl must
+    invalidate it."""
+    import os
+    import pickle
+    import time
+
+    from facialmmt_tpu.data.meld import MeldMultimodalDataset, MeldTextArrays
+    from tests.fixtures import write_meld_fixture
+
+    write_meld_fixture(str(tmp_path), split="test", seed=3)
+    base = os.path.join(str(tmp_path), "T+A+V")
+    n_dia = 3
+    arrays = MeldTextArrays(np.zeros((n_dia, 8), np.int32),
+                            np.ones((n_dia, 8), np.int32),
+                            np.zeros((n_dia, 8), np.int32))
+    ds1 = MeldMultimodalDataset(str(tmp_path), "test", arrays)
+    cache_path = os.path.join(base, "meld_test_features.npz")
+    assert os.path.exists(cache_path)
+
+    ds2 = MeldMultimodalDataset(str(tmp_path), "test", arrays)
+    np.testing.assert_array_equal(ds1.audio, ds2.audio)
+    np.testing.assert_array_equal(ds1.vision, ds2.vision)
+    np.testing.assert_array_equal(ds1.labels, ds2.labels)
+
+    # invalidation: rewrite the audio pkl with different features
+    audio_pkl = os.path.join(base, "meld_test_audio_utt.pkl")
+    with open(audio_pkl, "rb") as f:
+        data = pickle.load(f)
+    data["test"]["audio"] = np.asarray(data["test"]["audio"]) + 1.0
+    time.sleep(0.01)  # ensure mtime advances past the cache's
+    with open(audio_pkl, "wb") as f:
+        pickle.dump(data, f)
+    ds3 = MeldMultimodalDataset(str(tmp_path), "test", arrays)
+    np.testing.assert_allclose(ds3.audio, ds1.audio + 1.0, rtol=1e-6)
+
+
+def test_vision_dataset_cache(tmp_path):
+    import os
+
+    from facialmmt_tpu.data.meld import MeldVisionDataset
+    from tests.fixtures import write_meld_fixture
+
+    write_meld_fixture(str(tmp_path), split="val", seed=4)
+    ds1 = MeldVisionDataset(str(tmp_path), "val")
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "V", "meld_val_vision_utt.pkl.npz"))
+    ds2 = MeldVisionDataset(str(tmp_path), "val")
+    np.testing.assert_array_equal(ds1.features, ds2.features)
+    np.testing.assert_array_equal(ds1.labels, ds2.labels)
