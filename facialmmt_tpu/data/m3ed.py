@@ -1,9 +1,19 @@
 """M3ED (appendix) dataset layer.
 
-Text-only utterance-level dataset — the TPU rebuild of the appendix's
-`loading_unimodal_text` (reference (Appendix)CCAC2023/utils/dataset.py:112-147):
-one sample per utterance, text = the utterance's whole parent dialogue, label
-read from the per-token label channel at the utterance's sep position.
+The TPU rebuilds of the appendix's three dataset classes
+(reference (Appendix)CCAC2023/utils/dataset.py):
+
+  * `M3edTextDataset` — `loading_unimodal_text` (:112-147): one sample per
+    utterance, text = the whole parent dialogue, label read from the
+    per-token label channel at the utterance's sep position;
+  * `M3edMultimodalDataset` — `loading_multimodal_dataset` with
+    --uttORdia utt (:165-302): text arrays + `m3ed_{split}_audio_utt.pkl` /
+    `m3ed_{split}_vision_utt.pkl` feature pickles + `{split}_utt_profile.json`
+    (M3ED feeds precomputed vision features — no face JPEGs / FER branch);
+  * `M3edDialogueDataset` — the same class with --uttORdia dia: 4-D
+    per-dialogue pickles `m3ed_{split}_{audio,vision}_dia.pkl`
+    ((num_dia, max_dia_len, max_utt_len, dim) features, `*_utt_mask`,
+    `*_dia_mask`, per-dialogue `labels`) + `{split}_num_utt_in_dia.json`.
 
 TPU-first batching mirrors data/meld.py: unique dialogues are deduped per batch
 (encode-once-gather-many) and every batch is static-shape.
@@ -11,9 +21,17 @@ TPU-first batching mirrors data/meld.py: unique dialogues are deduped per batch
 
 from __future__ import annotations
 
+import json
+import os
+import pickle
 from typing import Dict, Sequence
 
 import numpy as np
+
+
+def _load_pickle(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
 
 
 class M3edTextDataset:
@@ -72,4 +90,173 @@ class M3edTextDataset:
             "dia_idx": dia_idx,
             "utt_in_dia_idx": self._utt_pos[idx],
             "labels": self._labels[idx],
+        }
+
+
+class M3edMultimodalDataset:
+    """Utterance-level M3ED multimodal split (reference
+    (Appendix)CCAC2023/utils/dataset.py:165-302, --uttORdia utt).
+
+    Reads the reference's exact pickle layout:
+      m3ed_{split}_audio_utt.pkl -> {split: {audio (num_utt, La, Da),
+                                             audio_utt_mask, labels}}
+      m3ed_{split}_vision_utt.pkl -> {split: {vision (num_utt, Lv, Dv),
+                                              vision_utt_mask}}
+      {split}_utt_profile.json    -> utt idx -> [utt, dia, dia_idx, len, pos]
+
+    Vision is precomputed features only (no faces, no FER concat — the
+    appendix model's vision_emb_dim is the raw extractor dim, reference
+    (Appendix)CCAC2023/src/models.py:46).
+    """
+
+    def __init__(self, project_path: str, split: str, input_ids, input_mask,
+                 sep_mask):
+        self.split = split
+        self.text_input_ids = np.asarray(input_ids, np.int32)
+        self.text_input_mask = np.asarray(input_mask, np.int32)
+        self.text_sep_mask = np.asarray(sep_mask, np.int32)
+
+        audio = _load_pickle(os.path.join(
+            project_path, f"m3ed_{split}_audio_utt.pkl"))[split]
+        self.audio = np.asarray(audio["audio"], np.float32)
+        self.audio_mask = np.asarray(audio["audio_utt_mask"], np.int32)
+        self.labels = (np.asarray(audio["labels"], np.int64)
+                       if "labels" in audio else
+                       np.zeros(self.audio.shape[0], np.int64))
+
+        vision = _load_pickle(os.path.join(
+            project_path, f"m3ed_{split}_vision_utt.pkl"))[split]
+        self.vision = np.asarray(vision["vision"], np.float32)
+        self.vision_mask = np.asarray(vision["vision_utt_mask"], np.int32)
+
+        with open(os.path.join(project_path, f"{split}_utt_profile.json"),
+                  encoding="utf8") as f:
+            self.utt_profile = json.load(f)
+
+    def __len__(self):
+        return self.audio.shape[0]
+
+    @property
+    def audio_max_utt_len(self):
+        return self.audio.shape[1]
+
+    @property
+    def vision_max_utt_len(self):
+        return self.vision.shape[1]
+
+    @property
+    def audio_feat_dim(self):
+        return self.audio.shape[-1]
+
+    @property
+    def vision_feat_dim(self):
+        return self.vision.shape[-1]
+
+    def get_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        """Static-shape batch: B dialogue slots (deduped, pad-by-repeat) +
+        per-utterance feature rows.  Keys match the feature-modality model
+        path (models/multimodal.py with vision_inputs = raw features)."""
+        idx = list(indices)
+        b = len(idx)
+        dia_slots: Dict[int, int] = {}
+        dia_idx = np.zeros(b, np.int32)
+        utt_in_dia_idx = np.zeros(b, np.int32)
+        for j, i in enumerate(idx):
+            _, _, dia_i, _, utt_pos = self.utt_profile[str(i)]
+            if dia_i not in dia_slots:
+                dia_slots[dia_i] = len(dia_slots)
+            dia_idx[j] = dia_slots[dia_i]
+            utt_in_dia_idx[j] = utt_pos
+        slot_to_dia = {v: k for k, v in dia_slots.items()}
+        rows = [slot_to_dia.get(s, slot_to_dia[0]) for s in range(b)]
+        return {
+            "dia_input_ids": self.text_input_ids[rows],
+            "dia_input_mask": self.text_input_mask[rows],
+            "dia_sep_mask": self.text_sep_mask[rows],
+            "dia_idx": dia_idx,
+            "utt_in_dia_idx": utt_in_dia_idx,
+            "audio_inputs": self.audio[idx],
+            "audio_mask": self.audio_mask[idx],
+            "vision_inputs": self.vision[idx],
+            "vision_mask": self.vision_mask[idx],
+            "labels": self.labels[idx].astype(np.int32),
+        }
+
+
+class M3edDialogueDataset:
+    """Dialogue-level M3ED multimodal split (reference
+    (Appendix)CCAC2023/utils/dataset.py:165-302, --uttORdia dia).
+
+    Reads the 4-D per-dialogue pickles directly:
+      m3ed_{split}_audio_dia.pkl -> {split: {audio (num_dia, D, La, Da),
+          audio_utt_mask (num_dia, D, La), audio_dia_mask (num_dia, D),
+          labels (num_dia, D)}}
+      m3ed_{split}_vision_dia.pkl -> same layout for vision
+      {split}_num_utt_in_dia.json -> {dia idx: num utterances}
+
+    get_batch emits the same layout MeldDialogueDataset does, so
+    DialogueTrainer and DialogueMultiModalTransformer consume either source.
+    """
+
+    def __init__(self, project_path: str, split: str, input_ids, input_mask,
+                 sep_mask):
+        self.split = split
+        self.text_input_ids = np.asarray(input_ids, np.int32)
+        self.text_input_mask = np.asarray(input_mask, np.int32)
+        self.text_sep_mask = np.asarray(sep_mask, np.int32)
+
+        audio = _load_pickle(os.path.join(
+            project_path, f"m3ed_{split}_audio_dia.pkl"))[split]
+        self.audio = np.asarray(audio["audio"], np.float32)
+        self.audio_mask = np.asarray(audio["audio_utt_mask"], np.int32)
+        self.labels = (np.asarray(audio["labels"], np.int64)
+                       if "labels" in audio else
+                       np.zeros(self.audio.shape[:2], np.int64))
+
+        vision = _load_pickle(os.path.join(
+            project_path, f"m3ed_{split}_vision_dia.pkl"))[split]
+        self.vision = np.asarray(vision["vision"], np.float32)
+        self.vision_mask = np.asarray(vision["vision_utt_mask"], np.int32)
+        self.dia_mask = np.asarray(vision["vision_dia_mask"], np.int32)
+
+        with open(os.path.join(project_path,
+                               f"{split}_num_utt_in_dia.json"),
+                  encoding="utf8") as f:
+            self.num_utt_in_dia = json.load(f)
+
+    def __len__(self):
+        return self.audio.shape[0]
+
+    @property
+    def max_dia_len(self):
+        return self.audio.shape[1]
+
+    @property
+    def audio_max_utt_len(self):
+        return self.audio.shape[2]
+
+    @property
+    def vision_max_utt_len(self):
+        return self.vision.shape[2]
+
+    @property
+    def audio_feat_dim(self):
+        return self.audio.shape[-1]
+
+    @property
+    def vision_feat_dim(self):
+        return self.vision.shape[-1]
+
+    def get_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        idx = list(indices)
+        return {
+            "dia_input_ids": self.text_input_ids[idx],
+            "dia_input_mask": self.text_input_mask[idx],
+            "dia_sep_mask": self.text_sep_mask[idx],
+            "audio_inputs": self.audio[idx],
+            "audio_mask": self.audio_mask[idx],
+            "vision_inputs": self.vision[idx],
+            "vision_mask": self.vision_mask[idx],
+            "dia_mask": self.dia_mask[idx],
+            "labels": self.labels[idx].astype(np.int32),
         }

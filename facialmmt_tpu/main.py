@@ -106,6 +106,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="HF dir for the text tower tokenizer/weights, e.g. "
                         "chinese-roberta-wwm-ext-large for M3ED (reference "
                         "(Appendix)CCAC2023/main.py:20)")
+    p.add_argument("--m3ed_project_path", type=str, default="",
+                   help="M3ED data dir ({split}_utt_text_noEmo.json + "
+                        "m3ed_{split}_{audio,vision}_{utt,dia}.pkl + profile "
+                        "jsons — reference (Appendix)CCAC2023/main.py); when "
+                        "set, multimodal data loads M3ED-style (precomputed "
+                        "vision features, no faces/FER branch)")
     # TPU-native extensions
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -281,6 +287,30 @@ def run(argv=None) -> float:
         valid_ds = MeldVisionDataset(cfg.data.data_load_path, "val")
         return trainer.run_unimodal(train_ds, valid_ds, test_ds)
 
+    # ---- M3ED text preprocessing (shared by the T and M3ED-multimodal
+    # paths; reference (Appendix)CCAC2023/src/data_bert_extraText.py) ----
+    m3ed_text_dir = args.m3ed_project_path or cfg.data.meld_text_path
+
+    def build_m3ed_text_arrays(split):
+        cache = os.path.join(cfg.data.data_load_path, "T",
+                             f"text_{split}_{cfg.plm_name}_m3ed.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            return z["ids"], z["mask"], z["sep"], z["labels"]
+        from transformers import AutoTokenizer
+
+        from facialmmt_tpu.data.text_prep import M3edTextPreprocessor
+
+        tok = AutoTokenizer.from_pretrained(
+            cfg.pretrained_text_model_path or cfg.plm_name)
+        prep = M3edTextPreprocessor(tok, cfg.data.max_seq_length)
+        feats = prep.preprocess_split(
+            os.path.join(m3ed_text_dir, f"{split}_utt_text_noEmo.json"))
+        ids, mask, sep, labels = M3edTextPreprocessor.to_arrays(feats)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, ids=ids, mask=mask, sep=sep, labels=labels)
+        return ids, mask, sep, labels
+
     if cfg.choice_modality == "T":
         # appendix text-only path (reference
         # (Appendix)CCAC2023/utils/dataset.py:112-147 + data_bert_extraText.py)
@@ -288,26 +318,7 @@ def run(argv=None) -> float:
         from facialmmt_tpu.train.trainer import TextTrainer
 
         def build_text(split):
-            cache = os.path.join(cfg.data.data_load_path, "T",
-                                 f"text_{split}_{cfg.plm_name}_m3ed.npz")
-            if os.path.exists(cache):
-                z = np.load(cache)
-                return M3edTextDataset(z["ids"], z["mask"], z["sep"],
-                                       z["labels"])
-            from transformers import AutoTokenizer
-
-            from facialmmt_tpu.data.text_prep import M3edTextPreprocessor
-
-            tok = AutoTokenizer.from_pretrained(
-                cfg.pretrained_text_model_path or cfg.plm_name)
-            prep = M3edTextPreprocessor(tok, cfg.data.max_seq_length)
-            feats = prep.preprocess_split(
-                os.path.join(cfg.data.meld_text_path,
-                             f"{split}_utt_text_noEmo.json"))
-            ids, mask, sep, labels = M3edTextPreprocessor.to_arrays(feats)
-            os.makedirs(os.path.dirname(cache), exist_ok=True)
-            np.savez(cache, ids=ids, mask=mask, sep=sep, labels=labels)
-            return M3edTextDataset(ids, mask, sep, labels)
+            return M3edTextDataset(*build_m3ed_text_arrays(split))
 
         text_trainer = TextTrainer(cfg, writer)
         if cfg.do_eval:
@@ -316,6 +327,41 @@ def run(argv=None) -> float:
                 ckpt_dir=args.load_best_model_path or None)
         return text_trainer.run_text(build_text("train"), build_text("val"),
                                      build_text("test"))
+
+    if args.m3ed_project_path:
+        # M3ED multimodal paths (reference (Appendix)CCAC2023/utils/
+        # dataset.py:165-302): precomputed audio + vision features, no
+        # faces/FER branch; utterance- or dialogue-level granularity
+        from facialmmt_tpu.data.m3ed import (M3edDialogueDataset,
+                                             M3edMultimodalDataset)
+        from facialmmt_tpu.train.trainer import DialogueTrainer, TextTrainer
+
+        ds_cls = (M3edDialogueDataset if cfg.granularity == "dia"
+                  else M3edMultimodalDataset)
+
+        def build_m3ed(split):
+            ids, mask, sep, _ = build_m3ed_text_arrays(split)
+            return ds_cls(args.m3ed_project_path, split, ids, mask, sep)
+
+        m3ed_test = build_m3ed("test")
+        cfg = _adapt_static_shapes(cfg, m3ed_test)
+        if cfg.granularity == "dia":
+            dia_trainer = DialogueTrainer(cfg, writer)
+            if cfg.do_eval:
+                return dia_trainer.eval_dialogue_only(
+                    m3ed_test,
+                    ckpt_dir=args.load_best_model_path or None,
+                    submission_template=args.submission_template,
+                    submission_out=args.submission_out,
+                    pred_dump_path=args.pred_dump_path)
+            return dia_trainer.run_dialogue(
+                build_m3ed("train"), build_m3ed("val"), m3ed_test)
+        feat_trainer = TextTrainer(cfg, writer)
+        if cfg.do_eval:
+            return feat_trainer.eval_text_only(
+                m3ed_test, ckpt_dir=args.load_best_model_path or None)
+        return feat_trainer.run_text(build_m3ed("train"), build_m3ed("val"),
+                                     m3ed_test)
 
     # T+A+V (and appendix subsets)
     from facialmmt_tpu.data.meld import MeldMultimodalDataset, MeldTextArrays

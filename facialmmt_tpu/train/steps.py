@@ -264,19 +264,30 @@ def make_dialogue_eval_step(model):
     return step
 
 
-# ----------------------------------------------------- text-only task (T) --
+# ------------------------------------- feature-modality task (T, T+A, T+V) --
+
+def _feature_kwargs(batch):
+    """Optional precomputed-feature modalities (M3ED-style: vision = raw
+    extractor features, no faces/FER branch — reference
+    (Appendix)CCAC2023/utils/dataset.py:165-302)."""
+    kw = {}
+    for k in ("audio_inputs", "audio_mask", "vision_inputs", "vision_mask"):
+        if k in batch:
+            kw[k] = batch[k]
+    return kw
+
 
 def make_text_train_step(model, tx):
-    """Train step for the text-only path (appendix choice_modality 'T';
-    the model is MultiModalTransformerForClassification with both A and V
-    towers compiled out)."""
+    """Train step for the feature-modality paths (appendix choice_modality
+    'T' / 'T+A' / 'T+V' / features-only 'T+A+V'; unused towers are compiled
+    out of MultiModalTransformerForClassification)."""
 
     def loss_fn(params, batch, rng):
         logits = model.apply(
             {"params": params}, batch["dia_input_ids"],
             batch["dia_input_mask"], batch["dia_sep_mask"],
             utt_in_dia_idx=batch["utt_in_dia_idx"],
-            dia_idx=batch.get("dia_idx"),
+            dia_idx=batch.get("dia_idx"), **_feature_kwargs(batch),
             deterministic=False, rngs={"dropout": rng})
         return cross_entropy(logits, batch["labels"])
 
@@ -295,7 +306,7 @@ def make_text_eval_step(model):
             {"params": params}, batch["dia_input_ids"],
             batch["dia_input_mask"], batch["dia_sep_mask"],
             utt_in_dia_idx=batch["utt_in_dia_idx"],
-            dia_idx=batch.get("dia_idx"))
+            dia_idx=batch.get("dia_idx"), **_feature_kwargs(batch))
         return logits, cross_entropy(logits, batch["labels"])
 
     return step

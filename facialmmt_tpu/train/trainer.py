@@ -439,9 +439,11 @@ class Trainer:
 
 
 class TextTrainer(Trainer):
-    """Text-only (choice_modality 'T') experiment driver — the appendix's
-    unimodal-text capability (reference (Appendix)CCAC2023/utils/dataset.py:
-    112-147) given the same loop shape as the other tasks."""
+    """Feature-modality experiment driver: choice_modality 'T' (the
+    appendix's unimodal text, reference (Appendix)CCAC2023/utils/dataset.py:
+    112-147) and the M3ED-style precomputed-feature subsets 'T+A' / 'T+V' /
+    'T+A+V' (vision = raw extractor features, no faces/FER branch —
+    reference :165-302), all with the same loop shape as the other tasks."""
 
     def _effective_batch(self) -> int:
         opt = self.cfg.optim
@@ -451,16 +453,21 @@ class TextTrainer(Trainer):
         from facialmmt_tpu.models.multimodal import (
             MultiModalTransformerForClassification)
 
+        modality = (self.cfg.choice_modality
+                    if self.cfg.choice_modality in
+                    ("T", "T+A", "T+V", "T+A+V") else "T")
         return MultiModalTransformerForClassification(
-            self.cfg.replace(choice_modality="T"), dtype=self.dtype)
+            self.cfg.replace(choice_modality=modality), dtype=self.dtype)
 
     def _init_text_params(self, model, ds, bsz):
+        from facialmmt_tpu.train.steps import _feature_kwargs
+
         sample = {k: jnp.asarray(v) for k, v in ds.get_batch([0] * bsz).items()}
         return jax.jit(model.init)(
             self._next_rng(), sample["dia_input_ids"],
             sample["dia_input_mask"], sample["dia_sep_mask"],
             utt_in_dia_idx=sample["utt_in_dia_idx"],
-            dia_idx=sample["dia_idx"])["params"]
+            dia_idx=sample["dia_idx"], **_feature_kwargs(sample))["params"]
 
     def _evaluate_text(self, eval_step, params, ds, bsz):
         loader = PrefetchLoader(ds.get_batch, len(ds), bsz, shuffle=False)

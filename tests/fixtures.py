@@ -142,3 +142,59 @@ def write_m3ed_text_fixture(root, split="train", num_dia=3, utts_per_dia=3,
         json.dump(annot, f)
     return {"path": path, "annot": annot,
             "n_utt": num_dia * utts_per_dia}
+
+
+def write_m3ed_multimodal_fixture(root, split="train", num_dia=3,
+                                  utts_per_dia=3, audio_len=10, vision_len=7,
+                                  audio_dim=20, vision_dim=12, seed=0):
+    """Full M3ED on-disk layout (reference (Appendix)CCAC2023/utils/
+    dataset.py:165-302): {split}_utt_text_noEmo.json, utterance-level AND
+    dialogue-level audio/vision pickles, utt profile + num_utt_in_dia jsons."""
+    rng = np.random.default_rng(seed)
+    text = write_m3ed_text_fixture(root, split, num_dia, utts_per_dia,
+                                   seed=seed)
+    n_utt = num_dia * utts_per_dia
+    labels_utt = rng.integers(0, 7, size=n_utt)
+
+    audio = rng.normal(size=(n_utt, audio_len, audio_dim)).astype(np.float32)
+    audio_mask = np.zeros((n_utt, audio_len), np.int64)
+    vision = rng.normal(size=(n_utt, vision_len, vision_dim)).astype(np.float32)
+    vision_mask = np.zeros((n_utt, vision_len), np.int64)
+    profile = {}
+    for i in range(n_utt):
+        audio_mask[i, :int(rng.integers(1, audio_len + 1))] = 1
+        vision_mask[i, :int(rng.integers(1, vision_len + 1))] = 1
+        d, u = i // utts_per_dia, i % utts_per_dia
+        profile[str(i)] = [f"dia{d}_utt{u}", f"dia{d}", d, utts_per_dia, u]
+
+    with open(os.path.join(root, f"m3ed_{split}_audio_utt.pkl"), "wb") as f:
+        pickle.dump({split: {"audio": audio, "audio_utt_mask": audio_mask,
+                             "labels": labels_utt}}, f)
+    with open(os.path.join(root, f"m3ed_{split}_vision_utt.pkl"), "wb") as f:
+        pickle.dump({split: {"vision": vision,
+                             "vision_utt_mask": vision_mask}}, f)
+    with open(os.path.join(root, f"{split}_utt_profile.json"), "w") as f:
+        json.dump(profile, f)
+
+    # dialogue-level 4-D layout
+    audio_d = audio.reshape(num_dia, utts_per_dia, audio_len, audio_dim)
+    audio_mask_d = audio_mask.reshape(num_dia, utts_per_dia, audio_len)
+    vision_d = vision.reshape(num_dia, utts_per_dia, vision_len, vision_dim)
+    vision_mask_d = vision_mask.reshape(num_dia, utts_per_dia, vision_len)
+    dia_mask = np.ones((num_dia, utts_per_dia), np.int64)
+    labels_d = labels_utt.reshape(num_dia, utts_per_dia)
+    with open(os.path.join(root, f"m3ed_{split}_audio_dia.pkl"), "wb") as f:
+        pickle.dump({split: {"audio": audio_d,
+                             "audio_utt_mask": audio_mask_d,
+                             "audio_dia_mask": dia_mask,
+                             "labels": labels_d}}, f)
+    with open(os.path.join(root, f"m3ed_{split}_vision_dia.pkl"), "wb") as f:
+        pickle.dump({split: {"vision": vision_d,
+                             "vision_utt_mask": vision_mask_d,
+                             "vision_dia_mask": dia_mask}}, f)
+    with open(os.path.join(root, f"{split}_num_utt_in_dia.json"), "w") as f:
+        json.dump({str(d): utts_per_dia for d in range(num_dia)}, f)
+
+    return {"root": root, "n_utt": n_utt, "num_dia": num_dia,
+            "labels_utt": labels_utt, "labels_dia": labels_d,
+            "audio": audio, "vision": vision, "text": text}

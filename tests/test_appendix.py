@@ -295,3 +295,139 @@ def test_cli_text_only_train_then_doeval(tmp_path):
                for s in os.listdir(tmp_path / "saved_model"))
     f1_eval = run(common + ["--doEval", "1"])
     assert 0.0 <= f1_eval <= 1.0
+
+
+# ------------------------------------------- M3ED multimodal pickle formats --
+
+def _write_m3ed_text_cache(tmp_path, splits, max_seq_length=64):
+    """Pre-populate the CLI's M3ED tokenized-text cache (main.py
+    build_m3ed_text_arrays) so the paths run without a HF tokenizer."""
+    import numpy as np
+
+    from facialmmt_tpu.data.text_prep import M3edTextPreprocessor
+    from tests.fixtures import WhitespaceTokenizer
+
+    os.makedirs(os.path.join(tmp_path, "T"), exist_ok=True)
+    for split in splits:
+        prep = M3edTextPreprocessor(WhitespaceTokenizer(), max_seq_length)
+        feats = prep.preprocess_split(
+            os.path.join(tmp_path, f"{split}_utt_text_noEmo.json"))
+        ids, mask, sep, labels = M3edTextPreprocessor.to_arrays(feats)
+        np.savez(os.path.join(tmp_path, "T",
+                              f"text_{split}_roberta-large.npz".replace(
+                                  ".npz", "_m3ed.npz")),
+                 ids=ids, mask=mask, sep=sep, labels=labels)
+
+
+def test_m3ed_utt_multimodal_batch_assembly(tmp_path):
+    """M3edMultimodalDataset reads the reference's utterance-level pickle
+    layout ((Appendix)CCAC2023/utils/dataset.py:165-302) and assembles
+    deduped-dialogue static batches."""
+    import numpy as np
+
+    from facialmmt_tpu.data.m3ed import M3edMultimodalDataset
+    from tests.fixtures import write_m3ed_multimodal_fixture
+
+    fix = write_m3ed_multimodal_fixture(str(tmp_path), split="train", seed=5)
+    ids = np.arange(9 * 64, dtype=np.int32).reshape(-1, 64)[:3]
+    mask = np.ones((3, 64), np.int32)
+    sep = np.zeros((3, 64), np.int32)
+    ds = M3edMultimodalDataset(str(tmp_path), "train", ids, mask, sep)
+    assert len(ds) == fix["n_utt"]
+
+    # utterances 0,1 share dialogue 0; utterance 3 is dialogue 1
+    b = ds.get_batch([0, 1, 3])
+    np.testing.assert_array_equal(b["dia_idx"], [0, 0, 1])
+    np.testing.assert_array_equal(b["utt_in_dia_idx"], [0, 1, 0])
+    np.testing.assert_allclose(b["audio_inputs"], fix["audio"][[0, 1, 3]])
+    np.testing.assert_allclose(b["vision_inputs"], fix["vision"][[0, 1, 3]])
+    np.testing.assert_array_equal(b["labels"], fix["labels_utt"][[0, 1, 3]])
+    # dialogue rows gathered by dia_idx reproduce each utterance's dialogue
+    np.testing.assert_array_equal(b["dia_input_ids"][b["dia_idx"]][0],
+                                  ids[0])
+    np.testing.assert_array_equal(b["dia_input_ids"][b["dia_idx"]][2],
+                                  ids[1])
+
+
+def test_m3ed_dia_dataset_reads_4d_pickles(tmp_path):
+    """M3edDialogueDataset reads the 4-D per-dialogue pickles + dia masks +
+    num_utt_in_dia.json and emits the DialogueTrainer batch layout."""
+    import numpy as np
+
+    from facialmmt_tpu.data.m3ed import M3edDialogueDataset
+    from tests.fixtures import write_m3ed_multimodal_fixture
+
+    fix = write_m3ed_multimodal_fixture(str(tmp_path), split="val", seed=6)
+    ids = np.zeros((3, 64), np.int32)
+    mask = np.ones((3, 64), np.int32)
+    sep = np.zeros((3, 64), np.int32)
+    ds = M3edDialogueDataset(str(tmp_path), "val", ids, mask, sep)
+    assert len(ds) == fix["num_dia"]
+    assert ds.max_dia_len == 3
+    b = ds.get_batch([1, 2])
+    assert b["audio_inputs"].shape == (2, 3, 10, 20)
+    assert b["vision_inputs"].shape == (2, 3, 7, 12)
+    np.testing.assert_array_equal(b["dia_mask"], np.ones((2, 3)))
+    np.testing.assert_array_equal(b["labels"], fix["labels_dia"][[1, 2]])
+
+
+@pytest.mark.parametrize("modality", ["T+A", "T+V", "T+A+V"])
+def test_cli_m3ed_utt_multimodal_train_eval(tmp_path, modality):
+    """End-to-end M3ED utterance-level multimodal CLI: --m3ed_project_path +
+    modality subsets train one epoch then doEval from the saved best
+    checkpoint (reference (Appendix)CCAC2023/main.py + train.py utt path)."""
+    from facialmmt_tpu.main import run
+    from tests.fixtures import write_m3ed_multimodal_fixture
+
+    for split in ("train", "val", "test"):
+        write_m3ed_multimodal_fixture(str(tmp_path), split=split,
+                                      seed=hash(split) % 50)
+    _write_m3ed_text_cache(str(tmp_path), ("train", "val", "test"))
+
+    common = ["--data_load_path", str(tmp_path),
+              "--m3ed_project_path", str(tmp_path),
+              "--choice_modality", modality,
+              "--text_preset", "tiny", "--max_seq_length", "64",
+              "--hidden_size", "64", "--num_attention_heads", "4",
+              "--intermediate_size", "128",
+              "--crossmodal_num_heads_TA", "4",
+              "--crossmodal_num_heads_TA_V", "4",
+              "--compute_dtype", "float32",
+              "--save_Model_path", str(tmp_path / "saved"),
+              "--metrics_path", str(tmp_path / "m.jsonl"),
+              "--trg_batch_size", "3"]
+    f1 = run(common + ["--doEval", "0", "--num_epochs", "1",
+                       "--trg_lr", "1e-3"])
+    assert 0.0 <= f1 <= 1.0
+    f1_eval = run(common + ["--doEval", "1",
+                            "--load_best_model_path", str(tmp_path / "saved")])
+    assert 0.0 <= f1_eval <= 1.0
+
+
+def test_cli_m3ed_dia_multimodal_train(tmp_path):
+    """End-to-end M3ED dialogue-level CLI over the 4-D pickles."""
+    from facialmmt_tpu.main import run
+    from tests.fixtures import write_m3ed_multimodal_fixture
+
+    for split in ("train", "val", "test"):
+        write_m3ed_multimodal_fixture(str(tmp_path), split=split,
+                                      seed=hash(split) % 50)
+    _write_m3ed_text_cache(str(tmp_path), ("train", "val", "test"))
+
+    f1 = run(["--data_load_path", str(tmp_path),
+              "--m3ed_project_path", str(tmp_path),
+              "--choice_modality", "T+A+V", "--uttORdia", "dia",
+              "--text_preset", "tiny", "--max_seq_length", "64",
+              "--hidden_size", "64", "--num_attention_heads", "4",
+              "--intermediate_size", "128",
+              "--crossmodal_num_heads_TA", "4",
+              "--crossmodal_num_heads_TA_V", "4",
+              "--compute_dtype", "float32",
+              "--save_Model_path", str(tmp_path / "saved"),
+              "--metrics_path", str(tmp_path / "m.jsonl"),
+              "--trg_batch_size", "2",
+              "--doEval", "0", "--num_epochs", "1", "--trg_lr", "1e-3"])
+    assert 0.0 <= f1 <= 1.0
+    import os as _os
+    assert any(s.startswith("best_")
+               for s in _os.listdir(tmp_path / "saved"))
