@@ -65,7 +65,7 @@ class SwinConfig:
     patch_norm: bool = True
     ape: bool = False
     remat: bool = True   # jax.checkpoint each block in the backward pass
-    attention_impl: str = "xla"  # 'xla' | 'pallas' | 'auto' — window-attention
+    attention_impl: str = "xla"  # 'xla' | 'pallas' | 'pair' | 'auto' — window-attn
                                  # kernel (ops/pallas/window_attention.py);
                                  # measured at XLA parity on v5e, default xla
     mlp_impl: str = "xla"        # 'xla' | 'pallas' | 'auto' — fused LN+MLP+res

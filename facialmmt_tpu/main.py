@@ -126,10 +126,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="1 = joint training (target grads update Swin); "
                         "0 = the reference's discard semantics "
                         "(reference train.py:305-340)")
+    p.add_argument("--swin_config_path", type=str, default="",
+                   help="Backbone YAML in the reference's swin_conf.yaml "
+                        "format (reference backbone_def.py:8-53; example "
+                        "shipped at configs/swin_conf.yaml)")
     p.add_argument("--swin_attention_impl", type=str, default="xla",
-                   choices=["xla", "pallas", "auto"],
-                   help="Swin window-attention kernel "
-                        "(ops/pallas/window_attention.py)")
+                   choices=["xla", "pallas", "pair", "auto"],
+                   help="Swin window-attention kernel; 'pair' = paired-"
+                        "window Pallas kernel, 'auto' = best measured per "
+                        "stage (ops/pallas/window_attention.py)")
     p.add_argument("--fused_text_attention", type=str, default="",
                    choices=["", "auto", "on", "off"],
                    help="Pallas fused attention for the text tower "
@@ -193,10 +198,15 @@ def config_from_args(args) -> "FacialMMTConfig":
 
         kw["text"] = TextEncoderConfig.tiny(
             "roberta" if args.plm_name == "roberta-large" else "bert")
-    if args.swin_attention_impl != "xla":
+    if args.swin_config_path or args.swin_attention_impl != "xla":
         from facialmmt_tpu.config import SwinConfig
 
-        kw["swin"] = SwinConfig(attention_impl=args.swin_attention_impl)
+        swin = (SwinConfig.from_yaml(args.swin_config_path)
+                if args.swin_config_path else SwinConfig())
+        if args.swin_attention_impl != "xla":
+            swin = dataclasses.replace(
+                swin, attention_impl=args.swin_attention_impl)
+        kw["swin"] = swin
     return FacialMMTConfig(
         choice_modality=args.choice_modality, plm_name=args.plm_name,
         do_eval=bool(args.doEval), num_labels=args.num_labels,

@@ -179,6 +179,97 @@ def _block_diag_bias(bias, g):
     return big
 
 
+# ------------------------------------------------------------ paired kernel --
+#
+# v3: TWO windows per matmul pair, merged on the SUBLANE axis *inside* the
+# kernel (jnp.concatenate on rows — no XLA-side merge transpose, the cost that
+# sank the XLA-level pairing at 0.51x).  98 rows x 98 lanes stays inside one
+# 128-lane tile (unlike v2's G=4 -> 196 lanes -> two tiles), so the instance
+# count halves for 2x the (cheap) FLOPs: the MXU instance floor amortizes.
+#
+# MEASURED (v5e, 256-image swin-tiny stage widths, chained-jit harness,
+# experiments/wattn_pair.py):
+#   stage0 (W=16384,h=3):  xla lane-slice 17.6 ms   v3 14.7 ms   (1.20x)
+#   stage1 (W=4096, h=6):  xla lane-slice  9.4 ms   v3  8.6 ms   (1.09x)
+#   stage2 (W=1024, h=12): xla lane-slice  4.9 ms   v3  5.6 ms   (0.88x)
+#   stage3 (W=256,  h=24): xla lane-slice  4.0 ms   v3  4.0 ms   (1.00x)
+# -> profitable for the wide early stages only; WindowAttention's 'pair' mode
+# uses it when num_heads <= 6 and falls back to lane-slice XLA otherwise.
+
+def _make_kernel_v3(num_heads: int, groups: int, pairs: int):
+    def kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+        cell = pl.program_id(0)
+        for p in range(pairs):
+            bias_idx = jax.lax.rem(cell * pairs + p, groups)
+            for head in range(num_heads):
+                q2 = jnp.concatenate(
+                    [q_ref[2 * p, head], q_ref[2 * p + 1, head]], axis=0)
+                k2 = jnp.concatenate(
+                    [k_ref[2 * p, head], k_ref[2 * p + 1, head]], axis=0)
+                v2 = jnp.concatenate(
+                    [v_ref[2 * p, head], v_ref[2 * p + 1, head]], axis=0)
+                s = jnp.dot(q2, k2.T, preferred_element_type=jnp.float32)
+                s = s + bias_ref[bias_idx, head]
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v2.dtype)
+                n = q_ref.shape[2]
+                o2 = jnp.dot(pr, v2, preferred_element_type=jnp.float32
+                             ).astype(o_ref.dtype)
+                o_ref[2 * p, head] = o2[:n]
+                o_ref[2 * p + 1, head] = o2[n:]
+    return kernel
+
+
+def _paired_impl(q, k, v, bias, pairs, interpret):
+    w, h, n, hd = q.shape
+    g = 2
+    big = jnp.asarray(_block_diag_bias(bias, g), jnp.bfloat16)
+    groups = big.shape[0]
+    # VMEM budget: 4 operands, double-buffered, (49->64 sublane, 32->128 lane)
+    # Mosaic padding
+    per_pair = 4 * 2 * g * h * ((n + 15) // 16 * 16) * max(hd, 128) * 2
+    while pairs > 1 and pairs * per_pair > 10 * 1024 * 1024:
+        pairs //= 2
+    while (w // g) % pairs != 0:
+        pairs //= 2
+    spec = pl.BlockSpec((g * pairs, h, n, hd), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_kernel_v3(h, groups, pairs),
+        grid=(w // (g * pairs),),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((groups, h, g * n, g * n),
+                               lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((w, h, n, hd), q.dtype),
+        interpret=interpret,
+    )(q, k, v, big)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def paired_window_attention(q, k, v, bias, pairs: int = 8,
+                            interpret: bool = False):
+    """Same contract as fused_window_attention (q PRE-SCALED, bias additive
+    (nW, h, N, N) with window i using row i % nW); W must be even and, when
+    nW > 1, nW must be even so pairs never straddle a bias boundary."""
+    return _paired_impl(q, k, v, bias, pairs, interpret)
+
+
+def _paired_fwd(q, k, v, bias, pairs, interpret):
+    return _paired_impl(q, k, v, bias, pairs, interpret), (q, k, v, bias)
+
+
+def _paired_bwd(pairs, interpret, res, grad):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(_reference, q, k, v, bias)
+    return vjp(grad)
+
+
+paired_window_attention.defvjp(_paired_fwd, _paired_bwd)
+
+
 def fused_window_attention_v2(q, k, v, bias, group: int = 4,
                               interpret: bool = False):
     """Block-diagonal grouped window attention.  Same contract as

@@ -176,8 +176,39 @@ class WindowAttention(nn.Module):
         idx = jnp.asarray(relative_position_index(self.window_size))
         bias = table[idx.reshape(-1)].reshape(n, n, nh).transpose(2, 0, 1)
 
-        use_fused = (self.fused == "on" or
-                     (self.fused == "auto" and jax.default_backend() == "tpu"))
+        # 'pair' = paired-window Pallas kernel (two windows per matmul pair,
+        # halves the MXU instance count — measured 1.2x/1.09x on the wide
+        # stage0/1 widths, see ops/pallas/window_attention.py); profitable for
+        # nh <= 6 only, and needs even window counts so pairs never straddle
+        # a bias row.  'auto' resolves to it on TPU at those widths.
+        nw_m = 1 if mask is None else mask.shape[0]
+        pair_ok = (b_ % 2 == 0 and (nw_m == 1 or nw_m % 2 == 0)
+                   and (deterministic or self.attn_drop == 0.0))
+        use_pair = pair_ok and (
+            self.fused == "pair"
+            or (self.fused == "auto" and nh <= 6
+                and jax.default_backend() == "tpu"))
+        if use_pair:
+            from facialmmt_tpu.ops.pallas.window_attention import \
+                paired_window_attention
+
+            qh = qkv[..., :c].reshape(b_, n, nh, hd)
+            kh = qkv[..., c:2 * c].reshape(b_, n, nh, hd)
+            vh = qkv[..., 2 * c:].reshape(b_, n, nh, hd)
+            if mask is not None:
+                full_bias = bias[None] + mask.astype(jnp.float32)[:, None]
+            else:
+                full_bias = bias[None]
+            out = paired_window_attention(
+                (qh * scale).transpose(0, 2, 1, 3),
+                kh.transpose(0, 2, 1, 3), vh.transpose(0, 2, 1, 3), full_bias)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+            out = SwinLinear(c, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        # 'on' = serial v1 kernel (measured XLA-parity; kept for shapes or
+        # backends where it wins); 'auto' with nh > 6 stays on the lane-slice
+        # XLA path — the measured best at the narrow stage widths.
+        use_fused = self.fused == "on"
         if use_fused and (deterministic or self.attn_drop == 0.0):
             # combined (nW, h, N, N) additive bias for the Pallas kernel
             from facialmmt_tpu.ops.pallas.window_attention import \
@@ -417,6 +448,7 @@ class SwinTransformer(nn.Module):
                     drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
                     drop_path=float(dpr[blk_i]),
                     fused_attention={"xla": "off", "pallas": "on",
+                                     "pair": "pair",
                                      "auto": "auto"}[cfg.attention_impl],
                     fused_mlp={"xla": "off", "pallas": "on",
                                "auto": "auto"}[cfg.mlp_impl],

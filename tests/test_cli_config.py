@@ -91,3 +91,26 @@ def test_adapt_static_shapes_from_dataset():
     assert cfg.data.audio_feat_dim == 12
     assert cfg.data.vision_utt_max_len == 9
     assert cfg.data.vision_feat_dim == 44
+
+
+def test_swin_yaml_and_attention_impl_flags(tmp_path):
+    """--swin_config_path loads the reference's YAML format and composes
+    with --swin_attention_impl (reference backbone_def.py:8-53)."""
+    y = tmp_path / "swin.yaml"
+    y.write_text(
+        "SwinTransformer:\n  img_size: 112\n  embed_dim: 48\n"
+        "  depths: [2, 2]\n  num_heads: [3, 6]\n  drop_path_rate: 0.1\n")
+    cfg = parse(["--swin_config_path", str(y),
+                 "--swin_attention_impl", "pair"])
+    assert cfg.swin.img_size == 112
+    assert cfg.swin.embed_dim == 48
+    assert cfg.swin.depths == (2, 2)
+    assert cfg.swin.drop_path_rate == 0.1
+    assert cfg.swin.attention_impl == "pair"
+    # shipped example parses to swin-tiny
+    from facialmmt_tpu.config import SwinConfig
+    import os
+    ex = SwinConfig.from_yaml(
+        os.path.join(os.path.dirname(__file__), "..", "configs",
+                     "swin_conf.yaml"))
+    assert ex.depths == (2, 2, 6, 2) and ex.num_heads == (3, 6, 12, 24)

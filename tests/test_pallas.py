@@ -92,3 +92,83 @@ def test_fused_window_attention_v2_matches_reference(rng):
     want = _reference(q, k, v, bias.astype(jnp.bfloat16).astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3,
                                atol=2e-3)
+
+def test_paired_window_attention_matches_reference(rng):
+    from facialmmt_tpu.ops.pallas.window_attention import \
+        paired_window_attention
+
+    w, h, n, hd, nw = 8, 3, 49, 32, 4
+    q = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nw, h, n, n)).astype(np.float32))
+    got = jax.jit(lambda q, k, v, b: paired_window_attention(
+        q, k, v, b, 2, True))(q, k, v, bias)
+    want = _reference(q, k, v, bias.astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_paired_window_attention_bias_indexing(rng):
+    """Pair (2c, 2c+1) must use bias rows (2c % nW, 2c+1 % nW) — the
+    block-diagonal grouping may not straddle or reorder bias rows."""
+    from facialmmt_tpu.ops.pallas.window_attention import \
+        paired_window_attention
+
+    w, h, n, hd, nw = 8, 1, 49, 32, 4
+    q = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    bias = np.zeros((nw, h, n, n), np.float32)
+    bias[3, :, :, 1:] = -1e9   # windows 3 and 7 attend only to key 0
+    got = np.asarray(paired_window_attention(q, k, v, jnp.asarray(bias), 2,
+                                             True))
+    np.testing.assert_allclose(got[3, 0, 5], np.asarray(v)[3, 0, 0], rtol=1e-4)
+    np.testing.assert_allclose(got[7, 0, 9], np.asarray(v)[7, 0, 0], rtol=1e-4)
+
+
+def test_paired_window_attention_grads_match(rng):
+    from facialmmt_tpu.ops.pallas.window_attention import \
+        paired_window_attention
+
+    w, h, n, hd, nw = 4, 2, 49, 32, 2
+    q = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(w, h, n, hd)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nw, h, n, n)).astype(np.float32))
+    g1 = jax.grad(lambda q: paired_window_attention(
+        q, k, v, bias, 2, True).sum())(q)
+    g2 = jax.grad(lambda q: _reference(q, k, v, bias).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_swin_block_pair_impl_matches_xla(rng):
+    """WindowAttention fused='pair' == lane-slice XLA inside a real shifted
+    SwinBlock (CPU interpret not available through the module path, so force
+    the kernel via interpret-capable shapes on the pallas fn level is covered
+    above; here we check the module-level wiring picks legal pair shapes)."""
+    from facialmmt_tpu.ops.swin import WindowAttention
+
+    w, n, c, heads = 8, 49, 96, 3
+    x = jnp.asarray(rng.normal(size=(w, n, c)).astype(np.float32))
+    mask = jnp.asarray(rng.normal(size=(4, n, n)).astype(np.float32))
+    attn_x = WindowAttention(dim=c, window_size=7, num_heads=heads,
+                             fused="off")
+    attn_p = WindowAttention(dim=c, window_size=7, num_heads=heads,
+                             fused="pair")
+    params = attn_x.init(jax.random.PRNGKey(0), x, mask)
+    ref = attn_x.apply(params, x, mask)
+    # interpret-mode run of the same wiring: monkeypatch the kernel entry to
+    # force interpret=True (no TPU on CI)
+    import facialmmt_tpu.ops.pallas.window_attention as wa
+    orig = wa.paired_window_attention
+    try:
+        wa.paired_window_attention = (
+            lambda q, k, v, b, pairs=8, interpret=False:
+            orig(q, k, v, b, pairs, True))
+        got = attn_p.apply(params, x, mask)
+    finally:
+        wa.paired_window_attention = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3,
+                               atol=5e-3)
