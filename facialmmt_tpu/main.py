@@ -278,6 +278,12 @@ def run(argv=None) -> float:
 
         enable_nan_debugging()
     writer = MetricWriter(cfg.runtime.metrics_path)
+    if not cfg.do_eval:
+        # SIGTERM -> resume checkpoint -> clean stop (utils/preemption.py);
+        # training restarted with --resume 1 continues the interrupted epoch
+        from facialmmt_tpu.utils.preemption import install_preemption_guard
+
+        install_preemption_guard()
     print("&" * 50)
 
     if cfg.choice_modality == "V":
@@ -295,7 +301,8 @@ def run(argv=None) -> float:
         print("Training from scratch...")
         train_ds = MeldVisionDataset(cfg.data.data_load_path, "train")
         valid_ds = MeldVisionDataset(cfg.data.data_load_path, "val")
-        return trainer.run_unimodal(train_ds, valid_ds, test_ds)
+        return trainer.run_unimodal(train_ds, valid_ds, test_ds,
+                                    resume=bool(args.resume))
 
     # ---- M3ED text preprocessing (shared by the T and M3ED-multimodal
     # paths; reference (Appendix)CCAC2023/src/data_bert_extraText.py) ----
@@ -336,7 +343,8 @@ def run(argv=None) -> float:
                 build_text("test"),
                 ckpt_dir=args.load_best_model_path or None)
         return text_trainer.run_text(build_text("train"), build_text("val"),
-                                     build_text("test"))
+                                     build_text("test"),
+                                     resume=bool(args.resume))
 
     if args.m3ed_project_path:
         # M3ED multimodal paths (reference (Appendix)CCAC2023/utils/
@@ -365,13 +373,14 @@ def run(argv=None) -> float:
                     submission_out=args.submission_out,
                     pred_dump_path=args.pred_dump_path)
             return dia_trainer.run_dialogue(
-                build_m3ed("train"), build_m3ed("val"), m3ed_test)
+                build_m3ed("train"), build_m3ed("val"), m3ed_test,
+                resume=bool(args.resume))
         feat_trainer = TextTrainer(cfg, writer)
         if cfg.do_eval:
             return feat_trainer.eval_text_only(
                 m3ed_test, ckpt_dir=args.load_best_model_path or None)
         return feat_trainer.run_text(build_m3ed("train"), build_m3ed("val"),
-                                     m3ed_test)
+                                     m3ed_test, resume=bool(args.resume))
 
     # T+A+V (and appendix subsets)
     from facialmmt_tpu.data.meld import MeldMultimodalDataset, MeldTextArrays
@@ -423,7 +432,8 @@ def run(argv=None) -> float:
                 pred_dump_path=args.pred_dump_path)
         dia_train = MeldDialogueDataset(build_split("train"))
         dia_valid = MeldDialogueDataset(build_split("val"))
-        return dia_trainer.run_dialogue(dia_train, dia_valid, dia_test)
+        return dia_trainer.run_dialogue(dia_train, dia_valid, dia_test,
+                                        resume=bool(args.resume))
 
     trainer = Trainer(cfg, writer)
     if cfg.do_eval:
@@ -454,4 +464,12 @@ def run(argv=None) -> float:
 
 
 if __name__ == "__main__":
-    run()
+    import sys
+
+    from facialmmt_tpu.utils.preemption import Preempted
+
+    try:
+        run()
+    except Preempted:
+        # conventional SIGTERM exit code; the resume checkpoint is on disk
+        sys.exit(143)

@@ -114,6 +114,21 @@ class Trainer:
 
         return shard_batch(self.plan, tree, axis=1 if micro else 0)
 
+    def _maybe_preempt(self, ckpt, state, best_f1: float, epoch: int) -> None:
+        """Poll the SIGTERM guard at a batch boundary (utils/preemption.py).
+        On request: overwrite the previous epoch's resume checkpoint with the
+        mid-epoch state (strictly-later training state, same resume contract
+        — the interrupted epoch re-runs its remaining schedule) and stop."""
+        from facialmmt_tpu.utils.preemption import (Preempted,
+                                                    preemption_requested)
+        if not preemption_requested():
+            return
+        path = ckpt.save_step({"state": state, "best_f1": best_f1,
+                               "epoch": epoch - 1}, epoch - 1)
+        print(f"Preemption requested: resume checkpoint saved to {path}; "
+              f"restart with --resume 1 to continue epoch {epoch}.")
+        raise Preempted(epoch, path)
+
     # ------------------------------------------------------------ unimodal --
 
     def run_unimodal(self, train_ds, valid_ds, test_ds,
@@ -162,6 +177,7 @@ class Trainer:
                     state, placed["feats"], placed["mask"], placed["labels"],
                     self._next_rng())
                 timer.update(float(loss), n_valid)
+                self._maybe_preempt(ckpt, state, best_f1, epoch)
                 if i % cfg.runtime.trg_log_interval == 0 and i > 0:
                     ms, avg = timer.interval_stats(cfg.runtime.trg_log_interval)
                     self.writer.log_train("TRG", epoch, i, steps_per_epoch,
@@ -350,6 +366,7 @@ class Trainer:
                 state, loss = aux_step(state, images, jnp.asarray(labels),
                                        self._next_rng())
                 timer.update(float(loss), n_valid)
+                self._maybe_preempt(ckpt, state, best_f1, epoch)
                 if i % cfg.runtime.aux_log_interval == 0 and i > 0:
                     ms, avg = timer.interval_stats(cfg.runtime.aux_log_interval)
                     self.writer.log_train("SRC", epoch, i, len(aux_loader),
@@ -367,6 +384,7 @@ class Trainer:
                 device_batch = self._prepare_faces(batch, train=True)
                 state, loss = trg_step(state, device_batch, self._next_rng())
                 timer.update(float(loss), n_valid)
+                self._maybe_preempt(ckpt, state, best_f1, epoch)
                 if i % cfg.runtime.trg_log_interval == 0 and i > 0:
                     ms, avg = timer.interval_stats(cfg.runtime.trg_log_interval)
                     self.writer.log_train("TRG", epoch, i, steps_per_epoch,
@@ -485,7 +503,10 @@ class TextTrainer(Trainer):
                 loss_sum / max(n_sum, 1))
 
     def run_text(self, train_ds, valid_ds, test_ds,
-                 use_macro_f1: bool = True) -> float:
+                 use_macro_f1: bool = True, resume: bool = False) -> float:
+        """resume=True restarts from the latest epoch checkpoint (early-
+        stopping patience restarts fresh — only {state, best_f1, epoch} is
+        checkpointed, matching the other loops)."""
         from facialmmt_tpu.train.metrics import macro_f1, weighted_f1
         from facialmmt_tpu.train.steps import (make_text_eval_step,
                                                make_text_train_step)
@@ -508,11 +529,20 @@ class TextTrainer(Trainer):
         best_f1 = -1.0
         best_val_loss = float("inf")
         patience_counter = 0
-        for epoch in range(1, opt.num_epochs + 1):
+        start_epoch = 1
+        if resume:
+            latest = ckpt.restore_latest(
+                {"state": state, "best_f1": best_f1, "epoch": 0})
+            if latest is not None:
+                state = jax.tree.map(jnp.asarray, latest["state"])
+                best_f1 = float(latest["best_f1"])
+                start_epoch = int(latest["epoch"]) + 1
+        for epoch in range(start_epoch, opt.num_epochs + 1):
             for batch, _ in loader.epoch(epoch):
                 placed = self._place_batch(
                     {k: jnp.asarray(v) for k, v in batch.items()})
                 state, loss = train_step(state, placed, self._next_rng())
+                self._maybe_preempt(ckpt, state, best_f1, epoch)
             logits, labels, val_loss = self._evaluate_text(
                 eval_step, state.params, valid_ds, bsz)
             val_f1 = metric(labels, logits.argmax(-1))
@@ -520,6 +550,8 @@ class TextTrainer(Trainer):
             if val_f1 > best_f1:
                 best_f1 = val_f1
                 ckpt.save_best({"params": state.params}, epoch)
+            ckpt.save_step({"state": state, "best_f1": best_f1,
+                            "epoch": epoch}, epoch)
             if opt.patience > 0:
                 if val_loss < best_val_loss:
                     best_val_loss = val_loss
@@ -608,7 +640,9 @@ class DialogueTrainer(Trainer):
                 np.concatenate(logits_all), loss_sum / max(n_sum, 1))
 
     def run_dialogue(self, train_ds, valid_ds, test_ds,
-                     use_macro_f1: bool = True) -> float:
+                     use_macro_f1: bool = True, resume: bool = False) -> float:
+        """resume=True restarts from the latest epoch checkpoint (see
+        run_text note on early-stopping patience)."""
         from facialmmt_tpu.train.metrics import macro_f1, weighted_f1
         from facialmmt_tpu.train.steps import (make_dialogue_eval_step,
                                                make_dialogue_train_step)
@@ -632,12 +666,21 @@ class DialogueTrainer(Trainer):
         best_f1 = -1.0
         best_val_loss = float("inf")
         patience_counter = 0
-        for epoch in range(1, opt.num_epochs + 1):
+        start_epoch = 1
+        if resume:
+            latest = ckpt.restore_latest(
+                {"state": state, "best_f1": best_f1, "epoch": 0})
+            if latest is not None:
+                state = jax.tree.map(jnp.asarray, latest["state"])
+                best_f1 = float(latest["best_f1"])
+                start_epoch = int(latest["epoch"]) + 1
+        for epoch in range(start_epoch, opt.num_epochs + 1):
             for batch, _ in loader.epoch(epoch):
                 device_batch = self._place_batch(
                     {k: jnp.asarray(v) for k, v in batch.items()})
                 state, loss = train_step(state, device_batch,
                                          self._next_rng())
+                self._maybe_preempt(ckpt, state, best_f1, epoch)
             preds, trues, _, val_loss = self._evaluate_dialogue(
                 eval_step, state.params, valid_ds, bsz)
             val_f1 = metric(trues, preds)
@@ -645,6 +688,8 @@ class DialogueTrainer(Trainer):
             if val_f1 > best_f1:
                 best_f1 = val_f1
                 ckpt.save_best({"params": state.params}, epoch)
+            ckpt.save_step({"state": state, "best_f1": best_f1,
+                            "epoch": epoch}, epoch)
             if opt.patience > 0:
                 if val_loss < best_val_loss:
                     best_val_loss = val_loss
