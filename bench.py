@@ -179,6 +179,15 @@ def main():
                                     train_batch)
     aux_img_s = _aux_throughput(jax, jnp, model, cfg, variables, aux_batch)
 
+    # auditable FLOPs accounting (utils/flops.py): model TFLOP/s + MFU at the
+    # measured eval throughput, from the analytic per-batch MAC count of the
+    # exact shapes benched here (8 utts/dialogue, 8 faces/utt)
+    from facialmmt_tpu.utils.flops import V5E_BF16_PEAK_FLOPS, eval_step_macs
+
+    macs = eval_step_macs(cfg, eval_batch, max(eval_batch // 8, 1),
+                          8 * eval_batch)
+    flops_per_sec = 2 * macs * eval_utt_s / eval_batch
+
     print(json.dumps({
         "metric": "meld_tav_eval_throughput",
         "value": round(eval_utt_s, 2),
@@ -189,6 +198,8 @@ def main():
         "train_batch": train_batch,
         "aux_img_per_sec": round(aux_img_s, 2),
         "aux_batch": aux_batch,
+        "model_tflops_per_sec": round(flops_per_sec / 1e12, 2),
+        "mfu_vs_v5e_peak": round(flops_per_sec / V5E_BF16_PEAK_FLOPS, 4),
     }))
 
 

@@ -48,3 +48,26 @@ def test_eval_meld_argmax_path(rng):
     want = sklearn.f1_score(truths, logits.argmax(-1), average="weighted")
     got = eval_meld(logits, truths, test=False)
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_eval_step_macs_sane():
+    """FLOPs accounting (utils/flops.py): dominant terms are Swin-per-face and
+    text-tower-per-dialogue; the analytic count must scale linearly in each."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from facialmmt_tpu.config import FacialMMTConfig
+    from facialmmt_tpu.ops.swin import swin_flops
+    from facialmmt_tpu.utils.flops import eval_step_macs
+
+    cfg = FacialMMTConfig()
+    base = eval_step_macs(cfg, 128, 16, 512)
+    # +1 face adds exactly one Swin pass
+    assert eval_step_macs(cfg, 128, 16, 513) - base == swin_flops(cfg.swin)
+    # doubling dialogues adds the text-tower term once more
+    text = eval_step_macs(cfg, 128, 32, 512) - base
+    assert text > 0
+    # roberta-large @512 is ~167 GMACs/dialogue (~335 GFLOPs); wide tolerance
+    assert 100e9 < text / 16 < 250e9
+    # per-utterance fusion terms are small but nonzero
+    assert eval_step_macs(cfg, 129, 16, 512) > base
