@@ -56,6 +56,11 @@ class PreemptionGuard:
         """Programmatic preemption (tests / external schedulers)."""
         self._requested = True
 
+    def reset(self) -> None:
+        """Clear a stale request (a new run() in the same process must not
+        inherit the previous run's preemption)."""
+        self._requested = False
+
     @property
     def requested(self) -> bool:
         return self._requested
@@ -65,10 +70,13 @@ _guard: Optional[PreemptionGuard] = None
 
 
 def install_preemption_guard() -> PreemptionGuard:
-    """Idempotent process-level install; returns the active guard."""
+    """Idempotent process-level install; returns the active guard with any
+    stale request cleared."""
     global _guard
     if _guard is None or not _guard._installed:
         _guard = PreemptionGuard().install()
+    else:
+        _guard.reset()
     return _guard
 
 

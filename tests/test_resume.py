@@ -242,3 +242,18 @@ def test_text_trainer_resume_from_epoch_checkpoint(tmp_path):
     f1 = t2.run_text(build("train"), build("val"), build("test"), resume=True)
     assert 0.0 <= f1 <= 1.0
     assert "step_2" in os.listdir(tmp_path / "saved")
+
+
+def test_preemption_guard_reinstall_clears_stale_request():
+    from facialmmt_tpu.utils.preemption import (install_preemption_guard,
+                                                preemption_requested)
+
+    g = install_preemption_guard()
+    try:
+        g.trigger()
+        assert preemption_requested()
+        g2 = install_preemption_guard()   # a fresh run() must start clean
+        assert g2 is g
+        assert not preemption_requested()
+    finally:
+        g.uninstall()
