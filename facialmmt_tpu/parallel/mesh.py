@@ -80,6 +80,17 @@ _TP_RULES = [
     (r".*text_encoder/layer_\d+/intermediate/bias$", P("model")),
     (r".*text_encoder/layer_\d+/output/kernel$", P("model", None)),
     (r".*word_embeddings/embedding$", P(None, None)),
+    # fusion self-attn encoder towers (audio/vision/unimodal — ops/encoder.py):
+    # same Megatron column/row pattern; heads split across 'model' (heads %
+    # tp == 0 or the divisibility guard below replicates the leaf)
+    (r".*utt_transformer/layer_\d+/selfatt/(query|key|value)/kernel$",
+     P(None, "model")),
+    (r".*utt_transformer/layer_\d+/selfatt/(query|key|value)/bias$",
+     P("model")),
+    (r".*utt_transformer/layer_\d+/attn_dense/kernel$", P("model", None)),
+    (r".*utt_transformer/layer_\d+/intermediate/kernel$", P(None, "model")),
+    (r".*utt_transformer/layer_\d+/intermediate/bias$", P("model")),
+    (r".*utt_transformer/layer_\d+/output/kernel$", P("model", None)),
 ]
 
 

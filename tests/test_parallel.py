@@ -190,3 +190,52 @@ def test_trainer_dialogue_on_dp_mesh(tmp_path):
     assert trainer.plan.mesh.shape == {"data": 4, "model": 1}
     f1 = trainer.run_dialogue(build("train"), build("val"), build("test"))
     assert 0.0 <= f1 <= 1.0
+
+
+def test_tp_fusion_towers_run_sharded(rng):
+    """The fusion model's audio/vision encoder towers shard over 'model'
+    (Megatron column/row rules in parallel/mesh.py) and match the replicated
+    result end-to-end through the full multimodal forward."""
+    from facialmmt_tpu.config import FacialMMTConfig
+    from facialmmt_tpu.models.multimodal import (
+        MultiModalTransformerForClassification)
+
+    plan = build_mesh(dp=4, tp=2)
+    cfg = FacialMMTConfig.tiny()
+    m = MultiModalTransformerForClassification(cfg, dtype=jnp.float32)
+    b, L = 8, cfg.data.max_seq_length
+    d = cfg.data
+    kw = dict(
+        audio_inputs=jnp.asarray(
+            rng.normal(size=(b, d.audio_utt_max_len, d.audio_feat_dim)),
+            jnp.float32),
+        audio_mask=jnp.ones((b, d.audio_utt_max_len), jnp.int32),
+        vision_inputs=jnp.asarray(
+            rng.normal(size=(b, d.vision_utt_max_len, 519)), jnp.float32),
+        vision_mask=jnp.ones((b, d.vision_utt_max_len), jnp.int32),
+        utt_in_dia_idx=jnp.zeros((b,), jnp.int32))
+    ids = jnp.asarray(rng.integers(2, cfg.text.vocab_size, size=(b, L)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    sep = jnp.zeros_like(ids).at[:, [5, 11]].set(1)
+    params = m.init(jax.random.PRNGKey(0), ids, mask, sep, **kw)["params"]
+
+    # at least one tower leaf must actually shard over 'model'
+    sh = param_shardings(plan, params)
+    flat = jax.tree_util.tree_flatten_with_path(sh)[0]
+    tower_sharded = [
+        "/".join(str(getattr(k, "key", k)) for k in kp) for kp, s in flat
+        if "utt_transformer" in str(kp) and s.spec != jax.sharding.PartitionSpec()]
+    assert tower_sharded, "no fusion-tower leaf got a TP spec"
+
+    want = np.asarray(m.apply({"params": params}, ids, mask, sep, **kw))
+    sharded_params = jax.device_put(params, sh)
+    data_sh = jax.sharding.NamedSharding(plan.mesh,
+                                         jax.sharding.PartitionSpec("data"))
+    args_s = jax.device_put((ids, mask, sep), data_sh)
+    kw_s = {k: (jax.device_put(v, data_sh) if hasattr(v, "shape") and
+                v.ndim and v.shape[0] == b else v) for k, v in kw.items()}
+    got = np.asarray(jax.jit(
+        lambda p, a, kw: m.apply({"params": p}, *a, **kw))(
+            sharded_params, args_s, kw_s))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
