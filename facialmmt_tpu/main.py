@@ -135,6 +135,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Swin window-attention kernel; 'pair' = paired-"
                         "window Pallas kernel, 'auto' = best measured per "
                         "stage (ops/pallas/window_attention.py)")
+    p.add_argument("--swin_mlp_impl", type=str, default="xla",
+                   choices=["xla", "pallas", "auto"],
+                   help="Swin LN+MLP+residual kernel "
+                        "(ops/pallas/block_mlp.py)")
     p.add_argument("--fused_text_attention", type=str, default="",
                    choices=["", "auto", "on", "off"],
                    help="Pallas fused attention for the text tower "
@@ -198,14 +202,15 @@ def config_from_args(args) -> "FacialMMTConfig":
 
         kw["text"] = TextEncoderConfig.tiny(
             "roberta" if args.plm_name == "roberta-large" else "bert")
-    if args.swin_config_path or args.swin_attention_impl != "xla":
+    if (args.swin_config_path or args.swin_attention_impl != "xla"
+            or args.swin_mlp_impl != "xla"):
         from facialmmt_tpu.config import SwinConfig
 
         swin = (SwinConfig.from_yaml(args.swin_config_path)
                 if args.swin_config_path else SwinConfig())
-        if args.swin_attention_impl != "xla":
-            swin = dataclasses.replace(
-                swin, attention_impl=args.swin_attention_impl)
+        swin = dataclasses.replace(
+            swin, attention_impl=args.swin_attention_impl,
+            mlp_impl=args.swin_mlp_impl)
         kw["swin"] = swin
     return FacialMMTConfig(
         choice_modality=args.choice_modality, plm_name=args.plm_name,

@@ -101,12 +101,14 @@ def test_swin_yaml_and_attention_impl_flags(tmp_path):
         "SwinTransformer:\n  img_size: 112\n  embed_dim: 48\n"
         "  depths: [2, 2]\n  num_heads: [3, 6]\n  drop_path_rate: 0.1\n")
     cfg = parse(["--swin_config_path", str(y),
-                 "--swin_attention_impl", "pair"])
+                 "--swin_attention_impl", "pair",
+                 "--swin_mlp_impl", "auto"])
     assert cfg.swin.img_size == 112
     assert cfg.swin.embed_dim == 48
     assert cfg.swin.depths == (2, 2)
     assert cfg.swin.drop_path_rate == 0.1
     assert cfg.swin.attention_impl == "pair"
+    assert cfg.swin.mlp_impl == "auto"
     # shipped example parses to swin-tiny
     from facialmmt_tpu.config import SwinConfig
     import os
