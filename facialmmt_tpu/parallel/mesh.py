@@ -91,6 +91,17 @@ _TP_RULES = [
     (r".*utt_transformer/layer_\d+/intermediate/kernel$", P(None, "model")),
     (r".*utt_transformer/layer_\d+/intermediate/bias$", P("model")),
     (r".*utt_transformer/layer_\d+/output/kernel$", P("model", None)),
+    # crossmodal MulT stacks (ops/crossmodal.py): the packed (E, 3E) in_proj
+    # column-shards on its output axis (GSPMD keeps the q/k/v row-slice
+    # semantics; sharding is layout, never math), out_proj/fc2 row-parallel
+    (r".*CrossModalTrans_\w+/layer_\d+/self_attn/in_proj_kernel$",
+     P(None, "model")),
+    (r".*CrossModalTrans_\w+/layer_\d+/self_attn/in_proj_bias$", P("model")),
+    (r".*CrossModalTrans_\w+/layer_\d+/self_attn/out_proj/kernel$",
+     P("model", None)),
+    (r".*CrossModalTrans_\w+/layer_\d+/fc1/kernel$", P(None, "model")),
+    (r".*CrossModalTrans_\w+/layer_\d+/fc1/bias$", P("model")),
+    (r".*CrossModalTrans_\w+/layer_\d+/fc2/kernel$", P("model", None)),
 ]
 
 

@@ -227,6 +227,10 @@ def test_tp_fusion_towers_run_sharded(rng):
         "/".join(str(getattr(k, "key", k)) for k in kp) for kp, s in flat
         if "utt_transformer" in str(kp) and s.spec != jax.sharding.PartitionSpec()]
     assert tower_sharded, "no fusion-tower leaf got a TP spec"
+    cm_sharded = [
+        "/".join(str(getattr(k, "key", k)) for k in kp) for kp, s in flat
+        if "CrossModalTrans" in str(kp) and s.spec != jax.sharding.PartitionSpec()]
+    assert cm_sharded, "no crossmodal leaf got a TP spec"
 
     want = np.asarray(m.apply({"params": params}, ids, mask, sep, **kw))
     sharded_params = jax.device_put(params, sh)
