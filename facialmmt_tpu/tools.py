@@ -54,11 +54,17 @@ def _leaves(tree):
 def print_flops(args) -> None:
     from facialmmt_tpu.config import FacialMMTConfig
     from facialmmt_tpu.ops.swin import swin_flops
+    from facialmmt_tpu.utils.flops import eval_step_macs
 
     cfg = FacialMMTConfig()
     f = swin_flops(cfg.swin)
-    print(f"swin-tiny forward: {f / 1e9:.2f} GFLOPs/image "
-          f"({f * args.batch / 1e12:.2f} TFLOPs at batch {args.batch})")
+    print(f"swin-tiny forward: {f / 1e9:.2f} GMACs/image "
+          f"({f * args.batch / 1e12:.2f} TMACs at batch {args.batch})")
+    m = eval_step_macs(cfg, args.batch, max(args.batch // 8, 1),
+                       args.faces_per_utt * args.batch)
+    print(f"full T+A+V eval batch ({args.batch} utts, "
+          f"{args.faces_per_utt} faces/utt): {m / 1e9:.1f} GMACs "
+          f"= {2 * m / 1e12:.2f} TFLOPs")
 
 
 def main(argv=None):
@@ -75,6 +81,7 @@ def main(argv=None):
 
     f = sub.add_parser("print-flops")
     f.add_argument("--batch", type=int, default=1)
+    f.add_argument("--faces_per_utt", type=int, default=8)
     f.set_defaults(func=print_flops)
 
     args = p.parse_args(argv)
