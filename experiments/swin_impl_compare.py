@@ -22,20 +22,25 @@ for impl in ("xla", "auto"):
         {"params": jax.random.PRNGKey(0)}, imgs, is_trg_task=False)
 
     @jax.jit
-    def chain(eps):
-        x = imgs + eps
-        acc = jnp.float32(0)
-        for i in range(ITERS):
+    def chain(variables, imgs, eps):
+        # fori_loop + explicit args keep the serialized HLO small (the dev
+        # tunnel rejects large compile payloads; closed-over arrays embed as
+        # HLO constants); the carry still serializes iterations
+        def body(i, carry):
+            x, acc = carry
             logits = swin.apply(variables, x, is_trg_task=False)
             acc = acc + jnp.sum(logits).astype(jnp.float32)
-            x = x + acc * 1e-12
+            return (x + acc * 1e-12, acc)
+
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (imgs + eps,
+                                                    jnp.float32(0)))
         return acc
 
-    float(chain(jnp.float32(0)))
+    float(chain(variables, imgs, jnp.float32(0)))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chain(jnp.float32(1e-9)))
+        float(chain(variables, imgs, jnp.float32(1e-9)))
         best = min(best, time.perf_counter() - t0)
     print(f"{impl:5s}: {best*1000/ITERS:7.1f} ms / 256 faces", flush=True)
 

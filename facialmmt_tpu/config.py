@@ -65,7 +65,12 @@ class SwinConfig:
     patch_norm: bool = True
     ape: bool = False
     remat: bool = True   # jax.checkpoint each block in the backward pass
-    attention_impl: str = "xla"  # 'xla' | 'pallas' | 'pair' | 'auto' — window-attn
+    # 'xla' | 'pallas' | 'pair' | 'auto' — window-attention impl.  'auto'
+    # (default) = paired-window Pallas kernel on TPU for the wide stages
+    # (nh <= 6), lane-slice XLA otherwise: whole-backbone 132.6 -> 120.3 ms
+    # / 256 faces measured on v5e (experiments/swin_impl_compare.py).  On CPU
+    # 'auto' is always the XLA path (parity tests compare that).
+    attention_impl: str = "auto"
                                  # kernel (ops/pallas/window_attention.py);
                                  # measured at XLA parity on v5e, default xla
     mlp_impl: str = "xla"        # 'xla' | 'pallas' | 'auto' — fused LN+MLP+res

@@ -130,11 +130,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Backbone YAML in the reference's swin_conf.yaml "
                         "format (reference backbone_def.py:8-53; example "
                         "shipped at configs/swin_conf.yaml)")
-    p.add_argument("--swin_attention_impl", type=str, default="xla",
+    p.add_argument("--swin_attention_impl", type=str, default="auto",
                    choices=["xla", "pallas", "pair", "auto"],
                    help="Swin window-attention kernel; 'pair' = paired-"
-                        "window Pallas kernel, 'auto' = best measured per "
-                        "stage (ops/pallas/window_attention.py)")
+                        "window Pallas kernel, 'auto' (default) = best "
+                        "measured per stage on TPU, plain XLA on CPU "
+                        "(ops/pallas/window_attention.py)")
     p.add_argument("--swin_mlp_impl", type=str, default="xla",
                    choices=["xla", "pallas", "auto"],
                    help="Swin LN+MLP+residual kernel "
@@ -202,16 +203,13 @@ def config_from_args(args) -> "FacialMMTConfig":
 
         kw["text"] = TextEncoderConfig.tiny(
             "roberta" if args.plm_name == "roberta-large" else "bert")
-    if (args.swin_config_path or args.swin_attention_impl != "xla"
-            or args.swin_mlp_impl != "xla"):
-        from facialmmt_tpu.config import SwinConfig
+    from facialmmt_tpu.config import SwinConfig
 
-        swin = (SwinConfig.from_yaml(args.swin_config_path)
-                if args.swin_config_path else SwinConfig())
-        swin = dataclasses.replace(
-            swin, attention_impl=args.swin_attention_impl,
-            mlp_impl=args.swin_mlp_impl)
-        kw["swin"] = swin
+    swin = (SwinConfig.from_yaml(args.swin_config_path)
+            if args.swin_config_path else SwinConfig())
+    kw["swin"] = dataclasses.replace(
+        swin, attention_impl=args.swin_attention_impl,
+        mlp_impl=args.swin_mlp_impl)
     return FacialMMTConfig(
         choice_modality=args.choice_modality, plm_name=args.plm_name,
         do_eval=bool(args.doEval), num_labels=args.num_labels,
