@@ -73,7 +73,10 @@ class SwinConfig:
     attention_impl: str = "auto"
                                  # kernel (ops/pallas/window_attention.py);
                                  # measured at XLA parity on v5e, default xla
-    mlp_impl: str = "xla"        # 'xla' | 'pallas' | 'auto' — fused LN+MLP+res
+    # 'xla' | 'pallas' | 'auto' — fused LN+MLP+residual kernel (eval-only;
+    # training keeps XLA autodiff).  'auto' (default) = on when on TPU:
+    # with pair attention, backbone 120.3 -> 117.6 ms / 256 faces measured.
+    mlp_impl: str = "auto"
                                  # eval kernel (ops/pallas/block_mlp.py)
     out_feature_dim: int = 512  # LN -> flatten -> Linear(49*768, 512) -> BatchNorm1d
                                 # (reference Swin_Transformer.py:491-494)

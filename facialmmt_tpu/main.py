@@ -136,10 +136,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "window Pallas kernel, 'auto' (default) = best "
                         "measured per stage on TPU, plain XLA on CPU "
                         "(ops/pallas/window_attention.py)")
-    p.add_argument("--swin_mlp_impl", type=str, default="xla",
+    p.add_argument("--swin_mlp_impl", type=str, default="auto",
                    choices=["xla", "pallas", "auto"],
-                   help="Swin LN+MLP+residual kernel "
-                        "(ops/pallas/block_mlp.py)")
+                   help="Swin LN+MLP+residual kernel, eval-only "
+                        "('auto' = on when on TPU; ops/pallas/block_mlp.py)")
     p.add_argument("--fused_text_attention", type=str, default="",
                    choices=["", "auto", "on", "off"],
                    help="Pallas fused attention for the text tower "

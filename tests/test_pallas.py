@@ -172,3 +172,41 @@ def test_swin_block_pair_impl_matches_xla(rng):
         wa.paired_window_attention = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3,
                                atol=5e-3)
+
+
+def test_fused_ln_mlp_residual_matches_reference(rng):
+    from facialmmt_tpu.ops.pallas.block_mlp import (_reference,
+                                                    fused_ln_mlp_residual)
+
+    t, c = 256, 96
+    x = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(c, 4 * c)).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng.normal(size=(4 * c,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(4 * c, c)).astype(np.float32)) * 0.1
+    b2 = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+    got = fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, 1e-5, True)
+    want = _reference(x, gamma, beta, w1, b1, w2, b2, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_fused_ln_mlp_residual_pads_awkward_token_count(rng):
+    """Token counts that don't divide the tile zero-pad and slice back."""
+    from facialmmt_tpu.ops.pallas.block_mlp import (_reference,
+                                                    fused_ln_mlp_residual)
+
+    t, c = 49, 8   # deliberately tiny + tile-unaligned
+    x = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    gamma = jnp.ones((c,), jnp.float32)
+    beta = jnp.zeros((c,), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, 4 * c)).astype(np.float32)) * 0.1
+    b1 = jnp.zeros((4 * c,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * c, c)).astype(np.float32)) * 0.1
+    b2 = jnp.zeros((c,), jnp.float32)
+    got = fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, 1e-5, True)
+    want = _reference(x, gamma, beta, w1, b1, w2, b2, 1e-5)
+    assert got.shape == (t, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2,
+                               atol=2e-2)
