@@ -65,9 +65,15 @@ class FacialMMTPipeline(nn.Module):
         b = batch["vision_feats"].shape[0]
         f = cfg.data.vision_utt_max_len
 
-        # frame-level FER distributions for every real face in the batch
+        # frame-level FER distributions for every real face in the batch.
+        # When grads will flow into Swin (joint training), 'auto' keeps the
+        # lane-slice attention — see aux_logits note; the stop-grad default
+        # path gets the faster grad-free pair kernel.
+        impl = ("xla" if (not stop_swin_gradient
+                          and cfg.swin.attention_impl == "auto") else None)
         probs_flat = self.swin_model(
-            batch["faces"], is_trg_task=True, deterministic=deterministic)
+            batch["faces"], is_trg_task=True, deterministic=deterministic,
+            attention_impl=impl)
         if stop_swin_gradient:
             probs_flat = jax.lax.stop_gradient(probs_flat)
         probs = scatter_face_probs(
@@ -92,5 +98,10 @@ class FacialMMTPipeline(nn.Module):
             deterministic=deterministic)
 
     def aux_logits(self, images, *, deterministic: bool = True):
+        # the aux loss backprops through Swin: under 'auto' keep the
+        # lane-slice XLA attention whose autodiff backward is the measured
+        # fastest (the pair kernel only wins on grad-free forwards)
+        impl = "xla" if self.config.swin.attention_impl == "auto" else None
         return self.swin_model(images, is_trg_task=False,
-                               deterministic=deterministic)
+                               deterministic=deterministic,
+                               attention_impl=impl)

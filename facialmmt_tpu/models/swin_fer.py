@@ -25,15 +25,19 @@ class SwinForAffwildClassification(nn.Module):
 
     @nn.compact
     def __call__(self, images, *, is_trg_task: bool = False,
-                 deterministic: bool = True, gumbel_rng=None):
+                 deterministic: bool = True, gumbel_rng=None,
+                 attention_impl=None):
         """images: (N, H, W, 3) normalized, channel-last.
 
         Returns logits (N, num_labels); in trg-task mode, the gumbel-softmax
         distribution instead.  Loss (cross-entropy) lives in the train step.
+        attention_impl: per-call backbone kernel override (see
+        ops/swin.py::SwinTransformer).
         """
         cfg = self.config
         x = SwinTransformer(cfg.swin, dtype=self.dtype, name="swin")(
-            images, deterministic=deterministic)
+            images, deterministic=deterministic,
+            attention_impl=attention_impl)
         x = TorchLinear(64, dtype=self.dtype, name="linear")(x)
         x = nn.relu(x)
         logits = TorchLinear(cfg.num_labels, dtype=self.dtype, name="classifier")(x)

@@ -257,13 +257,30 @@ def paired_window_attention(q, k, v, bias, pairs: int = 8,
     return _paired_impl(q, k, v, bias, pairs, interpret)
 
 
+def _lane_slice_reference(q, k, v, bias):
+    """Per-head formulation matching ops/swin.py's lane-slice path: same math
+    as _reference, but XLA autodiff of THIS graph produces the faster
+    backward (no (W, h, N, N) transpose materialization) — measured 531 vs
+    509 img/s on the aux fwd+bwd step at Swin-tiny shapes."""
+    w, h, n, hd = q.shape
+    nw = bias.shape[0]
+    outs = []
+    for head in range(h):
+        s = jnp.einsum("bnd,bmd->bnm", q[:, head], k[:, head],
+                       preferred_element_type=jnp.float32)
+        s = s.reshape(w // nw, nw, n, n) + bias[:, head][None]
+        p = jax.nn.softmax(s.reshape(w, n, n), axis=-1).astype(v.dtype)
+        outs.append(jnp.einsum("bnm,bmd->bnd", p, v[:, head]))
+    return jnp.stack(outs, axis=1)
+
+
 def _paired_fwd(q, k, v, bias, pairs, interpret):
     return _paired_impl(q, k, v, bias, pairs, interpret), (q, k, v, bias)
 
 
 def _paired_bwd(pairs, interpret, res, grad):
     q, k, v, bias = res
-    _, vjp = jax.vjp(_reference, q, k, v, bias)
+    _, vjp = jax.vjp(_lane_slice_reference, q, k, v, bias)
     return vjp(grad)
 
 

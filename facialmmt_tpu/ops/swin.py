@@ -412,10 +412,17 @@ class SwinTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True,
-                 use_running_average: Optional[bool] = None):
+                 use_running_average: Optional[bool] = None,
+                 attention_impl: Optional[str] = None):
         """x: (B, H, W, 3) channel-last, normalized images.
-        Returns (B, out_feature_dim)."""
+        Returns (B, out_feature_dim).
+
+        attention_impl overrides config.attention_impl for this call — the
+        aux task passes 'xla' so its Swin BACKWARD keeps the lane-slice
+        autodiff (the pair kernel's vjp recompute costs more than its
+        forward saves when grads flow: 531 vs 520 img/s measured)."""
         cfg = self.config
+        attn_impl = attention_impl or cfg.attention_impl
         ura = use_running_average if use_running_average is not None else deterministic
 
         x = PatchEmbed(cfg, dtype=self.dtype, name="patch_embed")(x)
@@ -449,7 +456,7 @@ class SwinTransformer(nn.Module):
                     drop_path=float(dpr[blk_i]),
                     fused_attention={"xla": "off", "pallas": "on",
                                      "pair": "pair",
-                                     "auto": "auto"}[cfg.attention_impl],
+                                     "auto": "auto"}[attn_impl],
                     fused_mlp={"xla": "off", "pallas": "on",
                                "auto": "auto"}[cfg.mlp_impl],
                     dtype=self.dtype,
