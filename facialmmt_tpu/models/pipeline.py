@@ -66,10 +66,11 @@ class FacialMMTPipeline(nn.Module):
         f = cfg.data.vision_utt_max_len
 
         # frame-level FER distributions for every real face in the batch.
-        # When grads will flow into Swin (joint training), 'auto' keeps the
-        # lane-slice attention — see aux_logits note; the stop-grad default
-        # path gets the faster grad-free pair kernel.
-        impl = ("xla" if (not stop_swin_gradient
+        # Only JOINT TRAINING (grads into Swin: training mode without the
+        # stop-grad) demotes 'auto' to lane-slice attention — see aux_logits
+        # note; eval and the stop-grad training path (the default) keep the
+        # faster grad-free pair kernel.
+        impl = ("xla" if (not deterministic and not stop_swin_gradient
                           and cfg.swin.attention_impl == "auto") else None)
         probs_flat = self.swin_model(
             batch["faces"], is_trg_task=True, deterministic=deterministic,
