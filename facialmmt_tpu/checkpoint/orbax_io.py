@@ -36,10 +36,23 @@ class CheckpointManager:
         return os.path.join(self.directory, tag)
 
     def save(self, tag: str, tree: Any, overwrite: bool = True) -> str:
+        """Crash-safe save: write the full tree to a temp dir first, then swap
+        it into place.  The previous checkpoint under `tag` is deleted only
+        AFTER the new one is fully on disk, so a hard kill mid-write (e.g. a
+        preemption grace window expiring during a multi-GB state save) leaves
+        the old checkpoint intact instead of losing both."""
         path = self._path(tag)
-        if overwrite and os.path.exists(path):
+        # leading '.' keeps partial writes invisible to the step_/best_ scans
+        tmp = os.path.join(self.directory, f".tmp_{tag.replace(os.sep, '_')}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, _as_numpy_tree(tree))
+        if os.path.exists(path):
+            if not overwrite:
+                shutil.rmtree(tmp)
+                raise FileExistsError(f"checkpoint exists: {path}")
             shutil.rmtree(path)
-        self._ckptr.save(path, _as_numpy_tree(tree))
+        os.rename(tmp, path)
         return path
 
     def save_best(self, tree: Any, step: int) -> str:

@@ -269,6 +269,47 @@ def convert_hf_text_encoder(sd, prefix: str,
     return out
 
 
+def load_pretrained_hf_text_tower(model_dir: str,
+                                  text_cfg: TextEncoderConfig
+                                  ) -> Dict[str, Any]:
+    """Local HF pretrained dir -> TextEncoder param tree, for FROM-SCRATCH
+    training.  The reference always builds its text tower from pretrained PLM
+    weights (`RobertaModel.from_pretrained` / `BertModel.from_pretrained`,
+    reference src/models.py:72-77; chinese-roberta at
+    (Appendix)CCAC2023/src/models.py:51) — random init cannot reach the W-F1
+    target, so every training path grafts this tree into its init params
+    (train/trainer.py).
+
+    Validates the HF config against `text_cfg` before converting so a wrong
+    `--plm_name` / dir pairing fails with the dimension diff, not a cryptic
+    shape error mid-graft.
+    """
+    from transformers import AutoModel
+
+    model = AutoModel.from_pretrained(model_dir)
+    hf = model.config
+    checks = [
+        ("hidden_size", text_cfg.hidden_size, hf.hidden_size),
+        ("num_layers", text_cfg.num_layers, hf.num_hidden_layers),
+        ("num_heads", text_cfg.num_heads, hf.num_attention_heads),
+        ("intermediate_size", text_cfg.intermediate_size,
+         hf.intermediate_size),
+        ("vocab_size", text_cfg.vocab_size, hf.vocab_size),
+        ("max_position_embeddings", text_cfg.max_position_embeddings,
+         hf.max_position_embeddings),
+    ]
+    bad = [f"{name}: ours {ours} vs HF {theirs}"
+           for name, ours, theirs in checks if ours != theirs]
+    if bad:
+        raise ValueError(
+            f"pretrained text model at {model_dir} does not match the "
+            f"resolved text-tower config ({'; '.join(bad)}) — check "
+            f"--plm_name / --pretrainedtextmodel_path")
+    sd = {k: np.asarray(v.detach().cpu().float().numpy())
+          for k, v in model.state_dict().items()}
+    return convert_hf_text_encoder(sd, "", text_cfg)
+
+
 def convert_unimodal(sd, cfg: FacialMMTConfig):
     """meld_utt_transformer (reference src/models.py:192-223)."""
     params = {

@@ -34,6 +34,23 @@ def _load_pickle(path: str):
         return pickle.load(f)
 
 
+def _labels_or_raise(data: Dict, split: str, shape) -> np.ndarray:
+    """Labels from the audio pickle.  Unlabeled TEST/submission pickles get a
+    zeros placeholder (predictions only — reference (Appendix)CCAC2023/
+    train.py:156-194 never reads test labels), but a train/val pickle missing
+    its 'labels' key is a malformed dataset: training on a zeros placeholder
+    would silently learn garbage, so raise instead."""
+    if "labels" in data:
+        return np.asarray(data["labels"], np.int64)
+    if split in ("train", "val", "valid", "dev"):
+        raise KeyError(
+            f"m3ed {split} audio pickle has no 'labels' key — refusing to "
+            f"substitute zeros for a training/validation split (check the "
+            f"pickle layout: {{'{split}': {{'audio', 'audio_utt_mask', "
+            f"'labels'}}}})")
+    return np.zeros(shape, np.int64)
+
+
 class M3edTextDataset:
     """Utterance-level text-only dataset over per-dialogue arrays.
 
@@ -120,9 +137,7 @@ class M3edMultimodalDataset:
             project_path, f"m3ed_{split}_audio_utt.pkl"))[split]
         self.audio = np.asarray(audio["audio"], np.float32)
         self.audio_mask = np.asarray(audio["audio_utt_mask"], np.int32)
-        self.labels = (np.asarray(audio["labels"], np.int64)
-                       if "labels" in audio else
-                       np.zeros(self.audio.shape[0], np.int64))
+        self.labels = _labels_or_raise(audio, split, self.audio.shape[0])
 
         vision = _load_pickle(os.path.join(
             project_path, f"m3ed_{split}_vision_utt.pkl"))[split]
@@ -209,9 +224,7 @@ class M3edDialogueDataset:
             project_path, f"m3ed_{split}_audio_dia.pkl"))[split]
         self.audio = np.asarray(audio["audio"], np.float32)
         self.audio_mask = np.asarray(audio["audio_utt_mask"], np.int32)
-        self.labels = (np.asarray(audio["labels"], np.int64)
-                       if "labels" in audio else
-                       np.zeros(self.audio.shape[:2], np.int64))
+        self.labels = _labels_or_raise(audio, split, self.audio.shape[:2])
 
         vision = _load_pickle(os.path.join(
             project_path, f"m3ed_{split}_vision_dia.pkl"))[split]

@@ -230,6 +230,21 @@ def config_from_args(args) -> "FacialMMTConfig":
         pretrained_text_model_path=args.pretrainedtextmodel_path, **kw)
 
 
+def resolve_pretrained_text_dir(cfg, pretrained_model_dir: str):
+    """Training starts the text tower from pretrained PLM weights; the
+    reference resolves <project>/pretrained_model/<plm_name> (reference
+    main.py:118 -> RobertaModel/BertModel.from_pretrained,
+    src/models.py:72-77).  Same default here when --pretrainedtextmodel_path
+    is empty; if the default dir is absent too, the trainer warns loudly and
+    random-inits (tests / ablations)."""
+    if (not cfg.do_eval and cfg.choice_modality != "V"
+            and not cfg.pretrained_text_model_path):
+        default_plm_dir = os.path.join(pretrained_model_dir, cfg.plm_name)
+        if os.path.isdir(default_plm_dir):
+            return cfg.replace(pretrained_text_model_path=default_plm_dir)
+    return cfg
+
+
 def _adapt_static_shapes(cfg, train_ds):
     """Derive static shape hyperparameters from the data, as the reference does
     at main.py:134-145, but once, explicitly."""
@@ -272,6 +287,8 @@ def load_torch_multimodal(cfg, mm_path, swin_path):
 def run(argv=None) -> float:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
+
+    cfg = resolve_pretrained_text_dir(cfg, args.pretrained_model_dir)
 
     from facialmmt_tpu.train.trainer import Trainer
     from facialmmt_tpu.utils.observability import MetricWriter

@@ -99,10 +99,13 @@ class FacialMMTPipeline(nn.Module):
             deterministic=deterministic)
 
     def aux_logits(self, images, *, deterministic: bool = True):
-        # the aux loss backprops through Swin: under 'auto' keep the
-        # lane-slice XLA attention whose autodiff backward is the measured
-        # fastest (the pair kernel only wins on grad-free forwards)
-        impl = "xla" if self.config.swin.attention_impl == "auto" else None
+        # under 'auto', demote to lane-slice XLA attention ONLY when grads
+        # flow (training: the aux loss backprops through Swin and the XLA
+        # autodiff backward is the measured fastest); aux EVAL is grad-free,
+        # so it keeps the faster pair kernel like the target-task forward
+        impl = ("xla" if (not deterministic
+                          and self.config.swin.attention_impl == "auto")
+                else None)
         return self.swin_model(images, is_trg_task=False,
                                deterministic=deterministic,
                                attention_impl=impl)

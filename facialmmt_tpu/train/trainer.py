@@ -47,6 +47,36 @@ from facialmmt_tpu.train.steps import (make_aux_train_step,
 from facialmmt_tpu.utils.observability import MetricWriter, StepTimer
 
 
+def graft_subtree(dst, src, what: str):
+    """Replace the init subtree `dst` with the converted tree `src` after
+    verifying both have identical structure and leaf shapes (a wrong-dims
+    pretrained checkpoint fails here with the offending paths, not with a
+    cryptic XLA shape error three calls later).  Leaves keep dst's dtypes."""
+    import jax.tree_util as jtu
+
+    d_leaves = jtu.tree_flatten_with_path(dst)[0]
+    s_leaves = jtu.tree_flatten_with_path(src)[0]
+    d_map = {jtu.keystr(p): v for p, v in d_leaves}
+    s_map = {jtu.keystr(p): v for p, v in s_leaves}
+    problems = []
+    for k in sorted(set(d_map) | set(s_map)):
+        if k not in s_map:
+            problems.append(f"{k}: missing from pretrained tree")
+        elif k not in d_map:
+            problems.append(f"{k}: unexpected in pretrained tree")
+        elif tuple(d_map[k].shape) != tuple(s_map[k].shape):
+            problems.append(
+                f"{k}: shape {tuple(s_map[k].shape)} vs model "
+                f"{tuple(d_map[k].shape)}")
+    if problems:
+        head = "; ".join(problems[:6])
+        raise ValueError(
+            f"pretrained {what} tree does not match the model "
+            f"({len(problems)} mismatch(es): {head})")
+    return jax.tree.map(
+        lambda d, s: jnp.asarray(s, dtype=d.dtype), dst, src)
+
+
 class Trainer:
     def __init__(self, cfg: FacialMMTConfig,
                  writer: Optional[MetricWriter] = None):
@@ -86,6 +116,37 @@ class Trainer:
         self.rng, out = jax.random.split(self.rng)
         return out
 
+    def _pretrained_text_tower(self):
+        """Converted HF text-tower params for from-scratch training, or None.
+
+        The reference ALWAYS starts its text tower from pretrained PLM weights
+        (reference src/models.py:72-77, resolved from
+        <project>/pretrained_model/<plm_name> at reference main.py:118); a
+        randomly-initialized roberta-large cannot approach the 66.7 W-F1
+        target.  An explicitly-set-but-missing path raises; an empty path
+        warns loudly and falls back to random init (tests / ablations)."""
+        import os
+
+        path = self.cfg.pretrained_text_model_path
+        if not path:
+            print("WARNING: no --pretrainedtextmodel_path — the text tower "
+                  "is RANDOMLY initialized.  The reference always trains "
+                  "from pretrained PLM weights (src/models.py:72-77); "
+                  "point --pretrainedtextmodel_path (or "
+                  "<pretrained_model_dir>/<plm_name>) at a local HF dir "
+                  "for reference-equivalent training.")
+            return None
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"--pretrainedtextmodel_path {path} is not a directory "
+                f"(expected a local HF pretrained model dir)")
+        from facialmmt_tpu.checkpoint.torch_convert import (
+            load_pretrained_hf_text_tower)
+        from facialmmt_tpu.config import resolve_text_config
+
+        return load_pretrained_hf_text_tower(path,
+                                             resolve_text_config(self.cfg))
+
     def _place_state(self, state):
         """Replicate train state over the mesh (text-tower params get tp
         shardings); no-op without a mesh."""
@@ -117,8 +178,20 @@ class Trainer:
     def _maybe_preempt(self, ckpt, state, best_f1: float, epoch: int) -> None:
         """Poll the SIGTERM guard at a batch boundary (utils/preemption.py).
         On request: overwrite the previous epoch's resume checkpoint with the
-        mid-epoch state (strictly-later training state, same resume contract
-        — the interrupted epoch re-runs its remaining schedule) and stop."""
+        mid-epoch state (strictly-later training state, same resume contract)
+        and stop.  The save is crash-safe: CheckpointManager.save writes the
+        new tree to a temp dir and deletes the old checkpoint only after the
+        write completes, so a grace window expiring mid-write cannot lose both.
+
+        Known imprecision (documented, not hidden): the checkpoint is tagged
+        epoch-1 but contains updates from the interrupted epoch's early
+        batches, so on resume those batches are applied TWICE and the
+        optimizer step count overruns the LR-schedule horizon by the same
+        amount (the linear schedule clamps at its floor).  The alternative —
+        persisting the in-epoch batch index and the loader's shuffle state —
+        buys exactness at real complexity; the reference has no resume at all
+        (SURVEY.md §5.4), so this trades a small, bounded LR drift for a
+        simple contract.  Flagged in docs/PARITY.md."""
         from facialmmt_tpu.utils.preemption import (Preempted,
                                                     preemption_requested)
         if not preemption_requested():
@@ -244,7 +317,8 @@ class Trainer:
         device_batch["faces"] = out.astype(self.dtype)
         return self._place_batch(device_batch, micro=micro)
 
-    def _init_multitask_state(self, model, train_ds, aux_len, swin_variables):
+    def _init_multitask_state(self, model, train_ds, aux_len, swin_variables,
+                              text_params=None):
         cfg, opt = self.cfg, self.cfg.optim
         trg_bsz = opt.trg_batch_size * opt.trg_accumulation_steps
         steps_per_epoch = (len(train_ds) + trg_bsz - 1) // trg_bsz
@@ -276,6 +350,12 @@ class Trainer:
             bs_sw = dict(batch_stats["swin_model"])
             bs_sw["swin"] = swin_variables["batch_stats"]["swin"]
             batch_stats["swin_model"] = bs_sw
+        if text_params is not None:  # pretrained PLM (reference src/models.py:72-77)
+            params = dict(params)
+            mm = dict(params["multimodal"])
+            mm["text_encoder"] = graft_subtree(
+                mm["text_encoder"], text_params, "text tower")
+            params["multimodal"] = mm
         state = self._place_state(
             MultiTaskState.create(params, batch_stats, swin_tx, mm_tx))
         return state, swin_tx, mm_tx, steps_per_epoch, trg_bsz
@@ -293,7 +373,8 @@ class Trainer:
         model = FacialMMTPipeline(cfg, dtype=self.dtype)
         state, swin_tx, mm_tx, steps_per_epoch, trg_bsz = \
             self._init_multitask_state(model, train_ds, len(aux_ds),
-                                       pretrained_swin)
+                                       pretrained_swin,
+                                       self._pretrained_text_tower())
         # donate the state in both task steps: params + optimizer moments for
         # the large text tower would otherwise be double-buffered (~6 GB extra)
         aux_step = jax.jit(make_aux_train_step(model, swin_tx),
@@ -477,15 +558,20 @@ class TextTrainer(Trainer):
         return MultiModalTransformerForClassification(
             self.cfg.replace(choice_modality=modality), dtype=self.dtype)
 
-    def _init_text_params(self, model, ds, bsz):
+    def _init_text_params(self, model, ds, bsz, text_params=None):
         from facialmmt_tpu.train.steps import _feature_kwargs
 
         sample = {k: jnp.asarray(v) for k, v in ds.get_batch([0] * bsz).items()}
-        return jax.jit(model.init)(
+        params = jax.jit(model.init)(
             self._next_rng(), sample["dia_input_ids"],
             sample["dia_input_mask"], sample["dia_sep_mask"],
             utt_in_dia_idx=sample["utt_in_dia_idx"],
             dia_idx=sample["dia_idx"], **_feature_kwargs(sample))["params"]
+        if text_params is not None:  # pretrained PLM ((Appendix) src/models.py:51)
+            params = dict(params)
+            params["text_encoder"] = graft_subtree(
+                params["text_encoder"], text_params, "text tower")
+        return params
 
     def _evaluate_text(self, eval_step, params, ds, bsz):
         loader = PrefetchLoader(ds.get_batch, len(ds), bsz, shuffle=False)
@@ -518,7 +604,8 @@ class TextTrainer(Trainer):
                                 shuffle=True, seed=cfg.runtime.seed)
         total = max(opt.num_epochs * len(loader), 1)
         tx = make_optimizer(opt, opt.trg_lr, total, opt.weight_decay)
-        params = self._init_text_params(model, train_ds, bsz)
+        params = self._init_text_params(model, train_ds, bsz,
+                                        self._pretrained_text_tower())
         state = self._place_state(SingleTaskState.create(params, tx))
         train_step = jax.jit(make_text_train_step(model, tx),
                              donate_argnums=(0,))
@@ -608,14 +695,19 @@ class DialogueTrainer(Trainer):
 
         return DialogueMultiModalTransformer(self.cfg, dtype=self.dtype)
 
-    def _init_dialogue_params(self, model, ds, bsz):
+    def _init_dialogue_params(self, model, ds, bsz, text_params=None):
         sample = {k: jnp.asarray(v) for k, v in ds.get_batch([0] * bsz).items()}
-        return jax.jit(model.init)(
+        params = jax.jit(model.init)(
             self._next_rng(), sample["dia_input_ids"],
             sample["dia_input_mask"], sample["dia_sep_mask"],
             sample["audio_inputs"], sample["audio_mask"],
             sample["vision_inputs"], sample["vision_mask"],
             sample["dia_mask"])["params"]
+        if text_params is not None:  # pretrained PLM ((Appendix) src/models.py:262)
+            params = dict(params)
+            params["text_encoder"] = graft_subtree(
+                params["text_encoder"], text_params, "text tower")
+        return params
 
     def _evaluate_dialogue(self, eval_step, params, ds, bsz):
         """Returns (preds, trues, valid_logits, mean_loss); preds/logits are
@@ -655,7 +747,8 @@ class DialogueTrainer(Trainer):
         total = max(opt.num_epochs * len(loader), 1)
         tx = make_optimizer(opt, opt.trg_lr, total, opt.weight_decay)
 
-        params = self._init_dialogue_params(model, train_ds, bsz)
+        params = self._init_dialogue_params(model, train_ds, bsz,
+                                            self._pretrained_text_tower())
         state = self._place_state(SingleTaskState.create(params, tx))
         train_step = jax.jit(make_dialogue_train_step(model, tx),
                              donate_argnums=(0,))
