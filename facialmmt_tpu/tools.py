@@ -51,6 +51,49 @@ def _leaves(tree):
     return [x for x in jax.tree.leaves(tree) if hasattr(x, "size")]
 
 
+def export_checkpoint(args) -> None:
+    """Orbax checkpoint -> reference-layout torch state_dict .pt files, so an
+    external machine with the released MELD data can run the reference's own
+    --doEval on models trained here (reference utils/util.py:121-159).
+
+    --kind pipeline reads a multi-task best checkpoint
+    ({params: {multimodal, swin_model}, batch_stats}) and writes BOTH
+    <output>_multimodal.pt and <output>_swin.pt, matching the reference's
+    two-file persistence (save_Multimodal_model + save_Swin_model).
+    """
+    import os
+
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+    from facialmmt_tpu.checkpoint.torch_export import (export_multimodal,
+                                                       export_swin_fer,
+                                                       export_unimodal,
+                                                       save_state_dict_pt)
+
+    in_dir, tag = os.path.split(args.input.rstrip("/"))
+    tree = CheckpointManager(in_dir or ".", keep_best_only=False).restore(tag)
+
+    def _write(sd, path):
+        save_state_dict_pt(sd, path)
+        print(f"exported {len(sd)} tensors -> {path}")
+
+    if args.kind == "unimodal":
+        _write(export_unimodal(tree), args.output)
+    elif args.kind == "multimodal":
+        _write(export_multimodal(tree, args.plm_name), args.output)
+    elif args.kind == "swin":
+        _write(export_swin_fer(tree), args.output)
+    elif args.kind == "pipeline":
+        base = args.output[:-3] if args.output.endswith(".pt") else args.output
+        _write(export_multimodal({"params": tree["params"]["multimodal"]},
+                                 args.plm_name), f"{base}_multimodal.pt")
+        _write(export_swin_fer(
+            {"params": tree["params"]["swin_model"],
+             "batch_stats": tree["batch_stats"]["swin_model"]}),
+            f"{base}_swin.pt")
+    else:
+        raise SystemExit(f"unknown --kind {args.kind}")
+
+
 def print_flops(args) -> None:
     from facialmmt_tpu.config import FacialMMTConfig
     from facialmmt_tpu.ops.swin import swin_flops
@@ -78,6 +121,15 @@ def main(argv=None):
     c.add_argument("--output", required=True)
     c.add_argument("--plm_name", default="roberta-large")
     c.set_defaults(func=convert_checkpoint)
+
+    e = sub.add_parser("export-checkpoint")
+    e.add_argument("--kind", required=True,
+                   choices=["unimodal", "multimodal", "swin", "pipeline"])
+    e.add_argument("--input", required=True,
+                   help="orbax checkpoint dir (e.g. saved_model/best_3)")
+    e.add_argument("--output", required=True, help=".pt path to write")
+    e.add_argument("--plm_name", default="roberta-large")
+    e.set_defaults(func=export_checkpoint)
 
     f = sub.add_parser("print-flops")
     f.add_argument("--batch", type=int, default=1)
