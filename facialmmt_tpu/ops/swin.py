@@ -126,6 +126,12 @@ def shifted_window_perms(h: int, w: int, ws: int,
     return perm, inv
 
 
+def _fused_block_backend_ok() -> bool:
+    """The mega-fused block kernel engages on TPU only (CPU parity tests pin
+    the XLA path); tests monkeypatch this to force the interpret-mode kernel."""
+    return jax.default_backend() == "tpu"
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm semantics: scale by 1/keep_prob)."""
 
@@ -294,27 +300,70 @@ class SwinBlock(nn.Module):
         n = ws * ws
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        ln1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        dp = DropPath(self.drop_path, name="drop_path")
         if shift > 0:
             perm, inv = shifted_window_perms(h, w, ws, shift)
-            x = jnp.take(x, jnp.asarray(perm), axis=1)
             mask = jnp.asarray(shifted_window_mask(h, w, ws, shift))
         else:
             mask = None
-        xw = x.reshape(b * (l // n), n, c)
 
-        attn = WindowAttention(
-            self.dim, ws, self.num_heads, self.qkv_bias,
-            self.attn_drop, self.drop, fused=self.fused_attention,
-            dtype=self.dtype, name="attn")(
-                xw, mask, deterministic=deterministic)
+        nw_m = 1 if mask is None else mask.shape[0]
+        w_total = b * (l // n)
+        # mega-fused eval path: LN1 + qkv + paired-window attention + proj +
+        # residual in ONE Pallas kernel (ops/pallas/fused_block.py) — deletes
+        # every XLA HBM pass between the token input and the MLP, measured
+        # 2.35x/2.47x/1.80x/1.54x on the attention half at stages 0-3 (so
+        # 'auto' engages it at EVERY stage, unlike the bare pair kernel).
+        # Eval forwards only (dropout/drop-path are identity there; training
+        # keeps the XLA autodiff path below).  LN commutes with the token
+        # permutation, so the shifted path permutes RAW x and the residual is
+        # added inside the kernel pre-inverse-permute.
+        use_fused_block = (
+            deterministic and not self.is_initializing()
+            and self.fused_attention in ("pair", "auto")
+            and _fused_block_backend_ok()
+            and w_total % 2 == 0 and (nw_m == 1 or nw_m % 2 == 0))
+        if use_fused_block:
+            from facialmmt_tpu.ops.pallas import fused_block as _fb
 
-        x = attn.reshape(b, l, c)
-        if shift > 0:
-            x = jnp.take(x, jnp.asarray(inv), axis=1)
+            fused_attention_block = _fb.fused_attention_block
+            p = self.variables["params"]
+            table = p["attn"]["relative_position_bias_table"]
+            idx = jnp.asarray(relative_position_index(ws))
+            bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads
+                                                  ).transpose(2, 0, 1)
+            full_bias = (bias[None] if mask is None
+                         else bias[None] + mask.astype(jnp.float32)[:, None])
+            qkv_b = (p["attn"]["qkv"]["bias"] if self.qkv_bias
+                     else jnp.zeros((3 * c,), jnp.float32))
+            xp = jnp.take(x, jnp.asarray(perm), axis=1) if shift > 0 else x
+            y = fused_attention_block(
+                xp.reshape(w_total, n, c),
+                p["norm1"]["scale"], p["norm1"]["bias"],
+                p["attn"]["qkv"]["kernel"], qkv_b,
+                p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
+                full_bias)
+            x = y.reshape(b, l, c)
+            if shift > 0:
+                x = jnp.take(x, jnp.asarray(inv), axis=1)
+        else:
+            x = ln1(x)
+            if shift > 0:
+                x = jnp.take(x, jnp.asarray(perm), axis=1)
+            xw = x.reshape(w_total, n, c)
 
-        dp = DropPath(self.drop_path, name="drop_path")
-        x = shortcut + dp(x, deterministic=deterministic)
+            attn = WindowAttention(
+                self.dim, ws, self.num_heads, self.qkv_bias,
+                self.attn_drop, self.drop, fused=self.fused_attention,
+                dtype=self.dtype, name="attn")(
+                    xw, mask, deterministic=deterministic)
+
+            x = attn.reshape(b, l, c)
+            if shift > 0:
+                x = jnp.take(x, jnp.asarray(inv), axis=1)
+
+            x = shortcut + dp(x, deterministic=deterministic)
 
         hid = int(self.dim * self.mlp_ratio)
         ln2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
