@@ -246,6 +246,10 @@ class RuntimeConfig:
     save_model_path: str = "saved_model"
     metrics_path: str = "metrics.jsonl"
     profile_dir: str = ""               # set to enable jax.profiler traces
+    eval_face_chunk: int = 0            # >0: stream eval Swin over the packed
+                                        # faces in tiles of this size (lax.map)
+                                        # so huge eval batches fit HBM; 0 = the
+                                        # fully-fused single-program eval
 
 
 @dataclass(frozen=True)

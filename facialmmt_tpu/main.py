@@ -144,6 +144,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["", "auto", "on", "off"],
                    help="Pallas fused attention for the text tower "
                         "(ops/pallas/attention.py); '' = config default")
+    p.add_argument("--eval_face_chunk", type=int, default=0,
+                   help=">0: stream eval Swin over the packed faces in tiles "
+                        "of this size (lax.map) so huge eval batches fit "
+                        "HBM; 0 = fully-fused eval (train/steps.py)")
     p.add_argument("--deterministic_gumbel", type=int, default=0)
     p.add_argument("--debug_nans", type=int, default=0)
     p.add_argument("--resume", type=int, default=0,
@@ -191,6 +195,7 @@ def config_from_args(args) -> "FacialMMTConfig":
                         trg_accumulation_steps=args.trg_accumulation_steps,
                         clip=args.clip, patience=args.patience)
     runtime = RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
+                            eval_face_chunk=args.eval_face_chunk,
                             deterministic_gumbel=bool(
                                 args.deterministic_gumbel),
                             aux_log_interval=args.aux_log_interval,

@@ -69,14 +69,19 @@ class FacialMMTPipeline(nn.Module):
         # Only JOINT TRAINING (grads into Swin: training mode without the
         # stop-grad) demotes 'auto' to lane-slice attention — see aux_logits
         # note; eval and the stop-grad training path (the default) keep the
-        # faster grad-free pair kernel.
-        impl = ("xla" if (not deterministic and not stop_swin_gradient
-                          and cfg.swin.attention_impl == "auto") else None)
-        probs_flat = self.swin_model(
-            batch["faces"], is_trg_task=True, deterministic=deterministic,
-            attention_impl=impl)
-        if stop_swin_gradient:
-            probs_flat = jax.lax.stop_gradient(probs_flat)
+        # faster grad-free pair kernel.  A precomputed 'face_probs' entry
+        # (the chunked large-batch eval path, train/steps.py) skips the
+        # in-program Swin entirely.
+        probs_flat = batch.get("face_probs")
+        if probs_flat is None:
+            impl = ("xla" if (not deterministic and not stop_swin_gradient
+                              and cfg.swin.attention_impl == "auto")
+                    else None)
+            probs_flat = self.swin_model(
+                batch["faces"], is_trg_task=True, deterministic=deterministic,
+                attention_impl=impl)
+            if stop_swin_gradient:
+                probs_flat = jax.lax.stop_gradient(probs_flat)
         probs = scatter_face_probs(
             probs_flat.astype(jnp.float32), batch["face_utt_id"],
             batch["face_pos"], b, f)
@@ -97,6 +102,14 @@ class FacialMMTPipeline(nn.Module):
             utt_in_dia_idx=batch["utt_in_dia_idx"],
             dia_idx=batch.get("dia_idx"),
             deterministic=deterministic)
+
+    def fer_probs(self, faces, *, deterministic: bool = True):
+        """Frame-level FER distributions for one packed-face tile.  The
+        chunked eval path (train/steps.py face_chunk) lax.map's this over
+        face tiles so a 2048-face batch never needs all Swin activations
+        resident at once; grad-free, so 'auto' keeps the pair kernel."""
+        return self.swin_model(faces, is_trg_task=True,
+                               deterministic=deterministic)
 
     def aux_logits(self, images, *, deterministic: bool = True):
         # under 'auto', demote to lane-slice XLA attention ONLY when grads
