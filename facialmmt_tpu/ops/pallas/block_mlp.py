@@ -38,8 +38,10 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-a * a))
 
 
-def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-            *, eps: float):
+def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
+            eps: float, has_keep: bool):
+    keep_ref = rest[0] if has_keep else None
+    o_ref = rest[-1]
     x = x_ref[:].astype(jnp.float32)                      # (tile, C)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
@@ -54,6 +56,9 @@ def _kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     y = jnp.dot(h.astype(jnp.bfloat16), w2_ref[:],
                 preferred_element_type=jnp.float32)
     y = y + b2_ref[:].astype(jnp.float32)
+    if has_keep:
+        # per-token stochastic-depth scale (0 or 1/keep_prob)
+        y = y * keep_ref[:].astype(jnp.float32)
     o_ref[:] = (x + y).astype(o_ref.dtype)
 
 
@@ -73,7 +78,7 @@ def _tile_for(c_in: int, t: int) -> int:
     return max(tile, 1)
 
 
-def _fwd_impl(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
+def _fwd_impl(x, gamma, beta, w1, b1, w2, b2, keep, eps, interpret):
     t, c = x.shape
     c4 = w1.shape[1]
     tile = _tile_for(c, t)
@@ -81,7 +86,8 @@ def _fwd_impl(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
         tile = 128
         pad = (-t) % tile
         xp = jnp.pad(x, ((0, pad), (0, 0)))
-        out = _fwd_impl(xp, gamma, beta, w1, b1, w2, b2, eps, interpret)
+        kp = None if keep is None else jnp.pad(keep.reshape(t), ((0, pad),))
+        out = _fwd_impl(xp, gamma, beta, w1, b1, w2, b2, kp, eps, interpret)
         return out[:t]
     grid = (t // tile,)
     vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
@@ -90,20 +96,26 @@ def _fwd_impl(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
                                     memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((tile, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    in_specs = [xspec, vec(c), vec(c), mat(c, c4), vec(c4),
+                mat(c4, c), vec(c)]
+    operands = [x, gamma.reshape(1, c), beta.reshape(1, c),
+                w1.astype(jnp.bfloat16), b1.reshape(1, c4),
+                w2.astype(jnp.bfloat16), b2.reshape(1, c)]
+    if keep is not None:
+        in_specs.append(pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(keep.reshape(t, 1).astype(jnp.float32))
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, has_keep=keep is not None),
         grid=grid,
-        in_specs=[xspec, vec(c), vec(c), mat(c, c4), vec(c4),
-                  mat(c4, c), vec(c)],
+        in_specs=in_specs,
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
         interpret=interpret,
-    )(x, gamma.reshape(1, c), beta.reshape(1, c),
-      w1.astype(jnp.bfloat16), b1.reshape(1, c4),
-      w2.astype(jnp.bfloat16), b2.reshape(1, c))
+    )(*operands)
 
 
-def _reference(x, gamma, beta, w1, b1, w2, b2, eps):
+def _reference(x, gamma, beta, w1, b1, w2, b2, keep, eps):
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = jnp.square(xf - mean).mean(-1, keepdims=True)
@@ -113,19 +125,23 @@ def _reference(x, gamma, beta, w1, b1, w2, b2, eps):
     h = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
     y = jnp.dot(h.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32) + b2
+    if keep is not None:
+        y = y * keep.reshape(-1, 1).astype(jnp.float32)
     return (xf + y).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, keep=None,
                           eps: float = 1e-5, interpret: bool = False):
-    """x: (T, C) tokens; returns x + fc2(gelu(fc1(LN(x)))) — one HBM pass."""
-    return _fwd_impl(x, gamma, beta, w1, b1, w2, b2, eps, interpret)
+    """x: (T, C) tokens; returns x + keep * fc2(gelu(fc1(LN(x)))) — one HBM
+    pass.  keep: optional (T,) per-token stochastic-depth multiplier (0 or
+    1/keep_prob) — lets the kernel serve train-mode stop-grad forwards."""
+    return _fwd_impl(x, gamma, beta, w1, b1, w2, b2, keep, eps, interpret)
 
 
-def _fwd(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
-    out = _fwd_impl(x, gamma, beta, w1, b1, w2, b2, eps, interpret)
-    return out, (x, gamma, beta, w1, b1, w2, b2)
+def _fwd(x, gamma, beta, w1, b1, w2, b2, keep, eps, interpret):
+    out = _fwd_impl(x, gamma, beta, w1, b1, w2, b2, keep, eps, interpret)
+    return out, (x, gamma, beta, w1, b1, w2, b2, keep)
 
 
 def _bwd(eps, interpret, res, grad):

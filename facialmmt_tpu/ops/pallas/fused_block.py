@@ -25,7 +25,12 @@ touch HBM.  bias2 is the paired block-diagonal (groups, h, 2N, 2N) combination
 of the relative-position bias and the shifted-window mask (reference
 Swin_Transformer.py:126-135, 233-257; pairing per window_attention.py v3).
 
-Eval/stop-grad forwards only (dropout/drop-path are identity there); the
+Engages on eval forwards AND on the stop-grad TRAINING forward (the target
+task's FER extraction, reference train.py:47 runs shareSwin in train mode but
+discards its grads): the reference Swin config has attn/proj dropout 0.0, so
+train mode differs from eval only by stochastic depth, which the kernel
+supports via an optional per-window `keep` operand — y = x + keep_w * proj(..)
+with keep already scaled by 1/keep_prob (timm DropPath semantics).  The
 custom_vjp backward falls back to XLA autodiff of the exact reference math via
 the lane-slice formulation, so joint training stays correct if a traced
 gradient ever flows through.
@@ -57,12 +62,14 @@ from facialmmt_tpu.ops.pallas.window_attention import _block_diag_bias
 
 
 def _make_kernel(num_heads: int, groups: int, pairs: int, n: int, c: int,
-                 eps: float):
+                 eps: float, has_keep: bool = False):
     hd = c // num_heads
     scale = hd ** -0.5
 
     def kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, wp_ref, bp_ref, bias_ref,
-               o_ref):
+               *rest):
+        keep_ref = rest[0] if has_keep else None
+        o_ref = rest[-1]
         cell = pl.program_id(0)
         gamma = g_ref[:].astype(jnp.float32)
         beta = b_ref[:].astype(jnp.float32)
@@ -95,8 +102,19 @@ def _make_kernel(num_heads: int, groups: int, pairs: int, n: int, c: int,
                                     preferred_element_type=jnp.float32))
             attn = jnp.concatenate(outs, axis=-1).astype(x2.dtype)  # (2N, C)
             y = jnp.dot(attn, wp_ref[:], preferred_element_type=jnp.float32)
-            y = y + bp_ref[:].astype(jnp.float32) + xf
-            y = y.astype(o_ref.dtype)
+            y = y + bp_ref[:].astype(jnp.float32)
+            if has_keep:
+                # per-window stochastic-depth scale (0 or 1/keep_prob): rows
+                # [:n] belong to window 2p, rows [n:] to window 2p+1.  The
+                # keep vector rides whole in VMEM (W*4 bytes), indexed by the
+                # GLOBAL window id — Mosaic requires whole-array blocks for
+                # sublane sizes this small.
+                base = cell * (2 * pairs)
+                row = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 1), 0)
+                kvec = jnp.where(row < n, keep_ref[base + 2 * p, 0],
+                                 keep_ref[base + 2 * p + 1, 0])
+                y = y * kvec
+            y = (y + xf).astype(o_ref.dtype)
             o_ref[2 * p] = y[:n]
             o_ref[2 * p + 1] = y[n:]
 
@@ -121,7 +139,7 @@ def _pick_pairs(w: int, h: int, n: int, c: int, groups: int,
     return pairs
 
 
-def _fwd_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, pairs,
+def _fwd_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep, pairs,
               eps, interpret):
     w, n, c = x.shape
     big = jnp.asarray(_block_diag_bias(bias, 2), jnp.bfloat16)
@@ -132,24 +150,30 @@ def _fwd_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, pairs,
                        memory_space=pltpu.VMEM)
     const = lambda *shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    in_specs = [blk,
+                const(1, c), const(1, c),
+                const(3, c, c), const(3, 1, c),
+                const(c, c), const(1, c),
+                const(groups, h, 2 * n, 2 * n)]
+    operands = [x, gamma.reshape(1, c), beta.reshape(1, c),
+                wqkv.T.reshape(3, c, c).transpose(0, 2, 1).astype(jnp.bfloat16),
+                bqkv.reshape(3, 1, c),
+                wproj.astype(jnp.bfloat16), bproj.reshape(1, c), big]
+    if keep is not None:
+        in_specs.append(pl.BlockSpec((w, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(keep.reshape(w, 1).astype(jnp.float32))
     return pl.pallas_call(
-        _make_kernel(h, groups, pairs, n, c, eps),
+        _make_kernel(h, groups, pairs, n, c, eps, has_keep=keep is not None),
         grid=(w // (2 * pairs),),
-        in_specs=[blk,
-                  const(1, c), const(1, c),
-                  const(3, c, c), const(3, 1, c),
-                  const(c, c), const(1, c),
-                  const(groups, h, 2 * n, 2 * n)],
+        in_specs=in_specs,
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((w, n, c), x.dtype),
         interpret=interpret,
-    )(x, gamma.reshape(1, c), beta.reshape(1, c),
-      wqkv.T.reshape(3, c, c).transpose(0, 2, 1).astype(jnp.bfloat16),
-      bqkv.reshape(3, 1, c),
-      wproj.astype(jnp.bfloat16), bproj.reshape(1, c), big)
+    )(*operands)
 
 
-def _reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, eps):
+def _reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep, eps):
     """Exact-math XLA formulation (lane-slice heads — the measured-fastest
     autodiff graph, window_attention.py::_lane_slice_reference) used for the
     backward pass and for CPU parity tests."""
@@ -179,12 +203,15 @@ def _reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, eps):
     attn = jnp.concatenate(outs, axis=-1)
     y = jnp.dot(attn.reshape(w * n, c), wproj.astype(x.dtype),
                 preferred_element_type=jnp.float32) + bproj
-    return (xf + y.reshape(w, n, c)).astype(x.dtype)
+    y = y.reshape(w, n, c)
+    if keep is not None:
+        y = y * keep.reshape(w, 1, 1).astype(jnp.float32)
+    return (xf + y).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def fused_attention_block(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
-                          pairs: int = 16, eps: float = 1e-5,
+                          keep=None, pairs: int = 16, eps: float = 1e-5,
                           interpret: bool = False):
     """x: (W, N, C) window-resident tokens (W even; when the shifted-window
     mask gives nW > 1 bias groups, nW must be even so pairs never straddle a
@@ -192,16 +219,19 @@ def fused_attention_block(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
     gamma/beta: (C,) LN1 params.  wqkv: (C, 3C) packed qkv kernel (TorchLinear
     layout, q|k|v on the output axis).  bqkv: (3C,).  wproj: (C, C).
     bias: (nW, h, N, N) additive rel-pos bias (+ shift mask).
-    Returns x + proj(window_attention(LN(x))), shape (W, N, C)."""
-    return _fwd_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
+    keep: optional (W,) per-window stochastic-depth multiplier (0 or
+    1/keep_prob), applied to the attention branch before the residual add —
+    what lets the kernel serve train-mode stop-grad forwards.
+    Returns x + keep * proj(window_attention(LN(x))), shape (W, N, C)."""
+    return _fwd_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep,
                      pairs, eps, interpret)
 
 
-def _fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, pairs, eps,
+def _fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep, pairs, eps,
          interpret):
-    out = _fwd_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
+    out = _fwd_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep,
                     pairs, eps, interpret)
-    return out, (x, gamma, beta, wqkv, bqkv, wproj, bproj, bias)
+    return out, (x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep)
 
 
 def _bwd(pairs, eps, interpret, res, grad):
@@ -349,7 +379,7 @@ def _whole_fwd_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
 
 def _whole_reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
                      gamma2, beta2, w1, b1, w2, b2, eps):
-    y = _reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, eps)
+    y = _reference(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, None, eps)
     yf = y.astype(jnp.float32)
     mean = yf.mean(-1, keepdims=True)
     var = jnp.square(yf - mean).mean(-1, keepdims=True)

@@ -289,6 +289,20 @@ class SwinBlock(nn.Module):
     fused_mlp: str = "off"         # 'off' | 'on' | 'auto' — Pallas LN+MLP+res
     dtype: Optional[Dtype] = None
 
+    def _drop_path_keep(self, b: int, deterministic: bool):
+        """Per-image stochastic-depth multiplier for the fused kernels (timm
+        DropPath semantics: 0 with prob rate, else 1/keep_prob); None when
+        drop-path is identity.  Drawn from the same 'dropout' stream the XLA
+        DropPath uses (different rng fold -> different sample, same
+        distribution — stochastic depth is a fresh draw per step either way,
+        see docs/PARITY.md)."""
+        if deterministic or self.drop_path == 0.0:
+            return None
+        keep_prob = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep_prob,
+                                    (b,))
+        return jnp.where(mask, 1.0 / keep_prob, 0.0).astype(jnp.float32)
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         # `deterministic` is positional so nn.remat can mark it static
@@ -310,17 +324,23 @@ class SwinBlock(nn.Module):
 
         nw_m = 1 if mask is None else mask.shape[0]
         w_total = b * (l // n)
-        # mega-fused eval path: LN1 + qkv + paired-window attention + proj +
+        # mega-fused path: LN1 + qkv + paired-window attention + proj +
         # residual in ONE Pallas kernel (ops/pallas/fused_block.py) — deletes
         # every XLA HBM pass between the token input and the MLP, measured
         # 2.35x/2.47x/1.80x/1.54x on the attention half at stages 0-3 (so
         # 'auto' engages it at EVERY stage, unlike the bare pair kernel).
-        # Eval forwards only (dropout/drop-path are identity there; training
-        # keeps the XLA autodiff path below).  LN commutes with the token
-        # permutation, so the shifted path permutes RAW x and the residual is
-        # added inside the kernel pre-inverse-permute.
+        # Engages on eval forwards AND train-mode forwards whose only
+        # stochasticity is drop-path (attn/proj dropout 0.0, the reference
+        # config) — the kernel applies the per-window stochastic-depth scale
+        # via its `keep` operand.  Grad-bearing joint training passes
+        # attention_impl='xla' and never reaches here (models/pipeline.py).
+        # LN commutes with the token permutation, so the shifted path
+        # permutes RAW x and the residual is added inside the kernel
+        # pre-inverse-permute.
+        train_ok = (not deterministic
+                    and self.attn_drop == 0.0 and self.drop == 0.0)
         use_fused_block = (
-            deterministic and not self.is_initializing()
+            (deterministic or train_ok) and not self.is_initializing()
             and self.fused_attention in ("pair", "auto")
             and _fused_block_backend_ok()
             and w_total % 2 == 0 and (nw_m == 1 or nw_m % 2 == 0))
@@ -338,12 +358,15 @@ class SwinBlock(nn.Module):
             qkv_b = (p["attn"]["qkv"]["bias"] if self.qkv_bias
                      else jnp.zeros((3 * c,), jnp.float32))
             xp = jnp.take(x, jnp.asarray(perm), axis=1) if shift > 0 else x
+            keep = self._drop_path_keep(b, deterministic)
+            keep_w = (None if keep is None
+                      else jnp.repeat(keep, l // n, total_repeat_length=w_total))
             y = fused_attention_block(
                 xp.reshape(w_total, n, c),
                 p["norm1"]["scale"], p["norm1"]["bias"],
                 p["attn"]["qkv"]["kernel"], qkv_b,
                 p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"],
-                full_bias)
+                full_bias, keep_w)
             x = y.reshape(b, l, c)
             if shift > 0:
                 x = jnp.take(x, jnp.asarray(inv), axis=1)
@@ -372,19 +395,25 @@ class SwinBlock(nn.Module):
         use_fused_mlp = (
             self.fused_mlp == "on"
             or (self.fused_mlp == "auto" and jax.default_backend() == "tpu"))
-        # the fused kernel is exact-eval-semantics only (dropout/drop_path are
-        # identity at eval); the training path keeps XLA autodiff
-        if use_fused_mlp and deterministic and not self.is_initializing():
+        # the fused kernel serves eval forwards and (via its per-token `keep`
+        # stochastic-depth operand) train-mode forwards with dropout 0.0;
+        # grad-bearing training keeps XLA autodiff (mlp_impl='xla')
+        train_ok = not deterministic and self.drop == 0.0
+        if (use_fused_mlp and (deterministic or train_ok)
+                and not self.is_initializing()):
             from facialmmt_tpu.ops.pallas.block_mlp import \
                 fused_ln_mlp_residual
 
+            keep = self._drop_path_keep(b, deterministic)
+            keep_t = (None if keep is None
+                      else jnp.repeat(keep, l, total_repeat_length=b * l))
             # params were created by the normal path at init; read them here
             p = self.variables["params"]
             out = fused_ln_mlp_residual(
                 x.reshape(-1, self.dim),
                 p["norm2"]["scale"], p["norm2"]["bias"],
                 p["mlp_fc1"]["kernel"], p["mlp_fc1"]["bias"],
-                p["mlp_fc2"]["kernel"], p["mlp_fc2"]["bias"])
+                p["mlp_fc2"]["kernel"], p["mlp_fc2"]["bias"], keep_t)
             return out.reshape(x.shape)
         y = ln2(x)
         y = fc1(y)
@@ -506,8 +535,13 @@ class SwinTransformer(nn.Module):
                     fused_attention={"xla": "off", "pallas": "on",
                                      "pair": "pair",
                                      "auto": "auto"}[attn_impl],
+                    # the explicit 'xla' override marks a grads-flow call
+                    # (aux/joint training) — demote the MLP kernel with it,
+                    # since train-mode forwards can otherwise engage it
                     fused_mlp={"xla": "off", "pallas": "on",
-                               "auto": "auto"}[cfg.mlp_impl],
+                               "auto": "auto"}[
+                                   "xla" if attn_impl == "xla"
+                                   else cfg.mlp_impl],
                     dtype=self.dtype,
                     name=f"stage_{stage}_block_{d}")(x, deterministic)
                 blk_i += 1

@@ -186,10 +186,22 @@ def test_fused_ln_mlp_residual_matches_reference(rng):
     b1 = jnp.asarray(rng.normal(size=(4 * c,)).astype(np.float32))
     w2 = jnp.asarray(rng.normal(size=(4 * c, c)).astype(np.float32)) * 0.1
     b2 = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
-    got = fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, 1e-5, True)
-    want = _reference(x, gamma, beta, w1, b1, w2, b2, 1e-5)
+    got = fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, None,
+                                1e-5, True)
+    want = _reference(x, gamma, beta, w1, b1, w2, b2, None, 1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2,
                                atol=2e-2)
+
+    # per-token stochastic-depth keep operand (train-mode stop-grad path)
+    keep = jnp.asarray((rng.random(t) > 0.3) / 0.7, jnp.float32)
+    got_k = fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, keep,
+                                  1e-5, True)
+    want_k = _reference(x, gamma, beta, w1, b1, w2, b2, keep, 1e-5)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(want_k),
+                               rtol=2e-2, atol=2e-2)
+    dropped = np.asarray(keep) == 0.0
+    np.testing.assert_allclose(np.asarray(got_k)[dropped],
+                               np.asarray(x)[dropped], rtol=1e-6, atol=1e-6)
 
 
 def test_fused_ln_mlp_residual_pads_awkward_token_count(rng):
@@ -205,8 +217,9 @@ def test_fused_ln_mlp_residual_pads_awkward_token_count(rng):
     b1 = jnp.zeros((4 * c,), jnp.float32)
     w2 = jnp.asarray(rng.normal(size=(4 * c, c)).astype(np.float32)) * 0.1
     b2 = jnp.zeros((c,), jnp.float32)
-    got = fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, 1e-5, True)
-    want = _reference(x, gamma, beta, w1, b1, w2, b2, 1e-5)
+    got = fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, None,
+                                1e-5, True)
+    want = _reference(x, gamma, beta, w1, b1, w2, b2, None, 1e-5)
     assert got.shape == (t, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2,
                                atol=2e-2)
@@ -279,3 +292,102 @@ def test_fused_attention_block_matches_xla_swinblock(monkeypatch, rng):
             jnp.max(jnp.abs(want)))
         assert rel < 2e-2, f"shift={shift_block}: rel={rel}"
         assert not np.allclose(np.asarray(got), np.asarray(x)), "no-op?"
+
+
+def test_fused_attention_block_keep_operand(rng):
+    """The per-window stochastic-depth `keep` operand: kernel (interpret)
+    matches the exact-math reference, and keep=0 windows pass x through."""
+    import jax.numpy as jnp
+
+    from facialmmt_tpu.ops.pallas.fused_block import (_reference,
+                                                      fused_attention_block)
+
+    w, n, c, h, nw = 8, 49, 96, 3, 4
+    x = jnp.asarray(rng.normal(size=(w, n, c)), jnp.float32)
+    args = (
+        jnp.asarray(rng.normal(size=(c,)) * 0.02 + 1, jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+        jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.02, jnp.float32),
+        jnp.asarray(rng.normal(size=(3 * c,)) * 0.02, jnp.float32),
+        jnp.asarray(rng.normal(size=(c, c)) * 0.02, jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+        jnp.asarray(rng.normal(size=(nw, h, n, n)) * 0.5, jnp.float32))
+    keep = jnp.asarray([0.0, 1.25, 1.25, 0.0, 1.25, 0.0, 1.25, 1.25],
+                       jnp.float32)
+    got = fused_attention_block(x, *args, keep, interpret=True)
+    want = _reference(x, *args, keep, 1e-5)
+    rel = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
+    assert rel < 2e-2, rel
+    dropped = np.asarray(keep) == 0.0
+    np.testing.assert_allclose(np.asarray(got)[dropped],
+                               np.asarray(x)[dropped], rtol=1e-6, atol=1e-6)
+
+
+def test_swin_block_fused_train_mode_matches_eval_when_droppath_zero(
+        monkeypatch, rng):
+    """With drop_path=0 and dropout 0.0 (the reference Swin config), the
+    fused kernels now ENGAGE on train-mode forwards (the stop-grad FER
+    extraction path) and must equal the eval forward exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from facialmmt_tpu.ops import swin
+    from facialmmt_tpu.ops.pallas import block_mlp, fused_block
+
+    monkeypatch.setattr(swin, "_fused_block_backend_ok", lambda: True)
+    orig_attn = fused_block.fused_attention_block
+    monkeypatch.setattr(
+        fused_block, "fused_attention_block",
+        lambda *a, **k: orig_attn(*a, **{**k, "interpret": True}))
+    del block_mlp  # MLP kernel off here; covered by the wiring test below
+
+    h = w = 14
+    block = swin.SwinBlock(dim=96, input_resolution=(h, w), num_heads=3,
+                           window_size=7, shift_size=0, drop_path=0.0,
+                           fused_attention="auto", fused_mlp="off")
+    x = jnp.asarray(rng.normal(size=(2, h * w, 96)), jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x, True)["params"]
+    out_eval = block.apply({"params": params}, x, True)
+    out_train = block.apply({"params": params}, x, False,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_train))
+
+
+def test_swin_block_fused_train_mode_droppath_wiring(monkeypatch, rng):
+    """Per-image stochastic depth through the fused kernels: with a pinned
+    keep vector [0, 1/keep_prob], the dropped image's output is exactly its
+    input (both residual branches zeroed) and the kept image's is not.
+    Kernel-level keep math is covered by the kernel tests; this pins the
+    SwinBlock expansion (per-window / per-token repeat) and rng plumbing."""
+    import jax
+    import jax.numpy as jnp
+
+    from facialmmt_tpu.ops import swin
+    from facialmmt_tpu.ops.pallas import block_mlp, fused_block
+
+    monkeypatch.setattr(swin, "_fused_block_backend_ok", lambda: True)
+    orig_attn = fused_block.fused_attention_block
+    monkeypatch.setattr(
+        fused_block, "fused_attention_block",
+        lambda *a, **k: orig_attn(*a, **{**k, "interpret": True}))
+    orig_mlp = block_mlp.fused_ln_mlp_residual
+    monkeypatch.setattr(
+        block_mlp, "fused_ln_mlp_residual",
+        lambda *a, **k: orig_mlp(*a, **{**k, "interpret": True}))
+    fixed = jnp.asarray([0.0, 1.0 / 0.7], jnp.float32)
+    monkeypatch.setattr(swin.SwinBlock, "_drop_path_keep",
+                        lambda self, b, det: None if det else fixed)
+
+    h = w = 14
+    for shift in (0, 3):
+        block = swin.SwinBlock(dim=96, input_resolution=(h, w), num_heads=3,
+                               window_size=7, shift_size=shift,
+                               drop_path=0.3, fused_attention="auto",
+                               fused_mlp="on")
+        x = jnp.asarray(rng.normal(size=(2, h * w, 96)), jnp.float32)
+        params = block.init(jax.random.PRNGKey(0), x, True)["params"]
+        out = block.apply({"params": params}, x, False,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0]),
+                                   rtol=1e-6, atol=1e-6)
+        assert not np.allclose(np.asarray(out[1]), np.asarray(x[1]))
