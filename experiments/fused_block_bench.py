@@ -42,7 +42,10 @@ def make_stage(rng, grid, c, h, shifted):
     n = ws * ws
     w = B * (grid // ws) ** 2
     nw = (grid // ws) ** 2
-    x = jnp.asarray(rng.normal(size=(w, n, c)), jnp.bfloat16)
+    # big activations are generated ON DEVICE (one jit): host-side np.random
+    # for a (16384, 49, 96) tensor costs minutes on this 1-core machine
+    x = jax.jit(lambda k: jax.random.normal(k, (w, n, c), jnp.bfloat16))(
+        jax.random.PRNGKey(int(rng.integers(1 << 30))))
     gamma = jnp.asarray(rng.normal(size=(c,)) * 0.02 + 1, jnp.float32)
     beta = jnp.zeros((c,), jnp.float32)
     wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.02, jnp.float32)
@@ -204,9 +207,86 @@ def main_whole(only=None):
             whole_stage(rng, si, grid, c, h, shifted)
 
 
+# ---- backward comparison: XLA autodiff of the lane-slice formulation (the
+# path grad-bearing training uses today) vs the Pallas backward kernel
+# (fused_block._bwd_impl_pallas via custom_vjp).  Run: ... --bwd [stages]
+def timed_grad(fn, x, args, dy):
+    """fwd+bwd per iteration, chained through dx (+ a live scalar from the
+    weight grads so their computation isn't DCE'd); one readback at the end.
+    dy and the weights ride as EXPLICIT jit args — closed-over device arrays
+    embed in the HLO as constants and the tunnel's remote_compile endpoint
+    chokes on large payloads (CLAUDE.md)."""
+    @jax.jit
+    def chain_w(x, dy, *args):
+        # weight grads included: vjp over every differentiable operand
+        def body(_, x):
+            y, vjp = jax.vjp(fn, x, *args)
+            grads = vjp(dy)
+            dx = grads[0]
+            wsum = sum(jnp.sum(g.astype(jnp.float32)) for g in grads[1:])
+            return (x * 0.99 + 1e-3 * dx
+                    + (wsum * 1e-30).astype(x.dtype)).astype(x.dtype)
+        return jax.lax.fori_loop(0, ITERS, body, x)
+
+    out = chain_w(x, dy, *args)
+    float(jnp.sum(out.astype(jnp.float32)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chain_w(x, dy, *args)
+        float(jnp.sum(out.astype(jnp.float32)))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return best * 1e3
+
+
+def bwd_stage(rng, si, grid, c, h, shifted):
+    from facialmmt_tpu.ops.pallas.fused_block import _reference
+
+    x, *args = make_stage(rng, grid, c, h, shifted)
+    args = tuple(args)
+    dy = jax.jit(lambda k: jax.random.normal(k, x.shape, x.dtype))(
+        jax.random.PRNGKey(int(rng.integers(1 << 30))))
+
+    ref = lambda x, *a: _reference(x, *a, None, 1e-5)
+    fused = lambda x, *a: fused_attention_block(*(x,) + a)
+
+    # grad parity check (wrt x + all weights) before timing; dy explicit
+    ga = jax.jit(lambda x, dy, *a: jax.vjp(ref, x, *a)[1](dy))(x, dy, *args)
+    gb = jax.jit(lambda x, dy, *a: jax.vjp(fused, x, *a)[1](dy))(x, dy, *args)
+    rels = []
+    for a, b in zip(ga, gb[:len(ga)]):
+        denom = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) or 1.0
+        if b is None:
+            continue
+        # bias cotangent: compare window-sums (the group-0 convention)
+        if a.ndim == 4 and a.shape == args[6].shape:
+            a, b = a.sum(0), b.sum(0)
+        rels.append(float(jnp.max(jnp.abs(
+            (a - b).astype(jnp.float32)))) / denom)
+    a_ms = timed_grad(ref, x, args, dy)
+    b_ms = timed_grad(fused, x, args, dy)
+    tag = "shift" if shifted else "     "
+    print(f"stage{si} {tag} (W={x.shape[0]:5d}, h={h:2d}, C={c:3d}): "
+          f"xla-vjp {a_ms:6.2f} ms   pallas-bwd {b_ms:6.2f} ms   "
+          f"({a_ms / b_ms:4.2f}x)  max rel|dgrad|={max(rels):.4f}", flush=True)
+
+
+def main_bwd(only=None):
+    rng = np.random.default_rng(0)
+    print(f"backend: {jax.default_backend()}, {B} faces, fwd+bwd per-op ms "
+          f"(chained x{ITERS}, best of 3)", flush=True)
+    for si, (grid, c, h) in enumerate(STAGES):
+        if only is not None and si not in only:
+            continue
+        for shifted in (False, True):
+            bwd_stage(rng, si, grid, c, h, shifted)
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "--whole":
         main_whole([int(a) for a in argv[1:]] or None)
+    elif argv and argv[0] == "--bwd":
+        main_bwd([int(a) for a in argv[1:]] or None)
     else:
         main([int(a) for a in argv] or None)

@@ -74,8 +74,12 @@ class FacialMMTPipeline(nn.Module):
         # in-program Swin entirely.
         probs_flat = batch.get("face_probs")
         if probs_flat is None:
-            impl = ("xla" if (not deterministic and not stop_swin_gradient
-                              and cfg.swin.attention_impl == "auto")
+            # joint training (grads into Swin): 'auto_grad' keeps the fused
+            # kernels with their flash-style Pallas backwards where they fit
+            # (stages 0-2) and lane-slice XLA autodiff elsewhere
+            impl = ("auto_grad" if (not deterministic
+                                    and not stop_swin_gradient
+                                    and cfg.swin.attention_impl == "auto")
                     else None)
             probs_flat = self.swin_model(
                 batch["faces"], is_trg_task=True, deterministic=deterministic,
@@ -112,12 +116,13 @@ class FacialMMTPipeline(nn.Module):
                                deterministic=deterministic)
 
     def aux_logits(self, images, *, deterministic: bool = True):
-        # under 'auto', demote to lane-slice XLA attention ONLY when grads
-        # flow (training: the aux loss backprops through Swin and the XLA
-        # autodiff backward is the measured fastest); aux EVAL is grad-free,
-        # so it keeps the faster pair kernel like the target-task forward
-        impl = ("xla" if (not deterministic
-                          and self.config.swin.attention_impl == "auto")
+        # under 'auto', grad-bearing training ('not deterministic': the aux
+        # loss backprops through Swin) resolves to 'auto_grad' — the fused
+        # kernels with their flash-style Pallas backwards at stages 0-2,
+        # lane-slice XLA autodiff at stage 3; aux EVAL is grad-free and keeps
+        # the plain 'auto' eval kernels
+        impl = ("auto_grad" if (not deterministic
+                                and self.config.swin.attention_impl == "auto")
                 else None)
         return self.swin_model(images, is_trg_task=False,
                                deterministic=deterministic,

@@ -144,7 +144,178 @@ def _fwd(x, gamma, beta, w1, b1, w2, b2, keep, eps, interpret):
     return out, (x, gamma, beta, w1, b1, w2, b2, keep)
 
 
+# ------------------------------------------------------------ Pallas backward --
+#
+# Same flash-style scheme as fused_block.py's attention backward: recompute
+# LN/fc1/GELU per token tile in VMEM, emit dx plus fp32 weight-grad
+# accumulators in constant-index output blocks (TPU grid cells run
+# sequentially: initialize at cell 0, accumulate after).  Deletes the XLA
+# backward's HBM materialization of the (T, 4C) GELU intermediate and its
+# recompute passes.  Stage fit: the fp32 dw1+dw2 accumulators cost 2*C*4C*4
+# bytes — stages 0-2 fit, stage 3 (768x3072: 18.9 MB) falls back to the XLA
+# autodiff of the exact reference math.
+
+def _gelu_grad(h):
+    """d/dh [h * Phi(h)] = Phi(h) + h * phi(h), exact-erf GELU."""
+    phi = jnp.exp(-0.5 * h * h) * jnp.float32(0.3989422804014327)
+    cdf = 0.5 * (1.0 + _erf(h * (2.0 ** -0.5)))
+    return cdf + h * phi
+
+
+def _bwd_kernel(x_ref, dy_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, *rest,
+                eps: float, has_keep: bool):
+    keep_ref = rest[0] if has_keep else None
+    dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref = rest[-7:]
+    cell = pl.program_id(0)
+    x = x_ref[:].astype(jnp.float32)                          # (tile, C)
+    dy = dy_ref[:].astype(jnp.float32)
+    gamma = g_ref[:].astype(jnp.float32)
+    # ---- recompute forward (same casts as _kernel) ----
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xh = (x - mean) * rstd
+    xn = xh * gamma + b_ref[:].astype(jnp.float32)
+    xn_b = xn.astype(jnp.bfloat16)
+    h = jnp.dot(xn_b, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    g = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+    g_b = g.astype(jnp.bfloat16)
+    # ---- branch grad: out = x + keep * (g @ w2 + b2) ----
+    if has_keep:
+        dyk = dy * keep_ref[:].astype(jnp.float32)
+    else:
+        dyk = dy
+    dyk_b = dyk.astype(jnp.bfloat16)
+    dgm = jax.lax.dot_general(dyk_b, w2_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dh = dgm * _gelu_grad(h)
+    dh_b = dh.astype(jnp.bfloat16)
+    dxn = jax.lax.dot_general(dh_b, w1_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    # ---- LN backward ----
+    dxhat = dxn * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xh, axis=-1, keepdims=True)
+    dx_ref[:] = (dy + rstd * (dxhat - m1 - xh * m2)).astype(dx_ref.dtype)
+    # ---- weight-grad accumulators (constant index blocks) ----
+    dg_acc = jnp.sum(dxn * xh, axis=0, keepdims=True)
+    db_acc = jnp.sum(dxn, axis=0, keepdims=True)
+    dw1_acc = jax.lax.dot_general(xn_b, dh_b, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    db1_acc = jnp.sum(dh, axis=0, keepdims=True)
+    dw2_acc = jax.lax.dot_general(g_b, dyk_b, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    db2_acc = jnp.sum(dyk, axis=0, keepdims=True)
+
+    @pl.when(cell == 0)
+    def _():
+        dg_ref[:] = dg_acc
+        db_ref[:] = db_acc
+        dw1_ref[:] = dw1_acc
+        db1_ref[:] = db1_acc
+        dw2_ref[:] = dw2_acc
+        db2_ref[:] = db2_acc
+
+    @pl.when(cell != 0)
+    def _():
+        dg_ref[:] = dg_ref[:] + dg_acc
+        db_ref[:] = db_ref[:] + db_acc
+        dw1_ref[:] = dw1_ref[:] + dw1_acc
+        db1_ref[:] = db1_ref[:] + db1_acc
+        dw2_ref[:] = dw2_ref[:] + dw2_acc
+        db2_ref[:] = db2_ref[:] + db2_acc
+
+
+def _bwd_tile_for(c: int, c4: int, t: int) -> int:
+    """Token tile for the backward; 0 = does not fit (XLA fallback).  Besides
+    the forward's intermediates the backward keeps dy/dx tiles, the (tile, 4C)
+    dh chain and the fp32 dw1/dw2 accumulators resident."""
+    c_p = (c + 127) // 128 * 128
+    c4_p = (c4 + 127) // 128 * 128
+    accum_bytes = 2 * c * c4_p * 4 + 6 * c_p * 4
+    weight_bytes = 2 * c * c4_p * 2
+    # 12 MB (vs the forward's 6): the resident fp32 accumulators are the
+    # budget, not pipelining depth — stage 2 lands at ~11 MB with tile 128
+    budget = 12 * 1024 * 1024 - accum_bytes - weight_bytes
+    # per token: x/dy/dx tiles (bf16, double-buffered) + h/g/dh/dgm fp32 rows
+    per_token = 3 * 2 * c_p * 2 + 4 * c4_p * 4 + 2 * c_p * 4
+    tile = budget // per_token
+    if tile < 128:
+        return 0
+    for cand in (2048, 1024, 512, 256, 128):
+        if cand <= tile:
+            tile = cand
+            break
+    else:
+        tile = 128
+    while t % tile != 0:
+        tile //= 2
+    return tile if tile >= 128 else 0
+
+
+def _bwd_impl_pallas(x, gamma, beta, w1, b1, w2, b2, keep, grad, tile, eps,
+                     interpret):
+    t, c = x.shape
+    c4 = w1.shape[1]
+    grid = (t // tile,)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [xspec, xspec, vec(c), vec(c), mat(c, c4), vec(c4), mat(c4, c)]
+    operands = [x, grad.astype(x.dtype), gamma.reshape(1, c),
+                beta.reshape(1, c), w1.astype(jnp.bfloat16),
+                b1.reshape(1, c4), w2.astype(jnp.bfloat16)]
+    has_keep = keep is not None
+    if has_keep:
+        in_specs.append(pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(keep.reshape(t, 1).astype(jnp.float32))
+    out_shape = [jax.ShapeDtypeStruct((t, c), x.dtype),
+                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                 jax.ShapeDtypeStruct((c, c4), jnp.float32),
+                 jax.ShapeDtypeStruct((1, c4), jnp.float32),
+                 jax.ShapeDtypeStruct((c4, c), jnp.float32),
+                 jax.ShapeDtypeStruct((1, c), jnp.float32)]
+    out_specs = [xspec, vec(c), vec(c), mat(c, c4), vec(c4), mat(c4, c),
+                 vec(c)]
+    dx, dg, db, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, has_keep=has_keep),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    dkeep = None if keep is None else jnp.zeros_like(keep)
+    return (dx, dg.reshape(c).astype(gamma.dtype),
+            db.reshape(c).astype(beta.dtype), dw1.astype(w1.dtype),
+            db1.reshape(c4).astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.reshape(c).astype(b2.dtype), dkeep)
+
+
 def _bwd(eps, interpret, res, grad):
+    x, gamma, beta, w1, b1, w2, b2, keep = res
+    t, c = x.shape
+    backend_ok = jax.default_backend() == "tpu" or interpret
+    pad = (-t) % 128
+    tile = _bwd_tile_for(c, w1.shape[1], t + pad)
+    if backend_ok and tile > 0:
+        if pad:
+            # zero-padded rows are inert: dy rows are 0 -> dxn rows are 0 ->
+            # zero contribution to every weight grad and dx pad rows are 0
+            xp = jnp.pad(x, ((0, pad), (0, 0)))
+            gp = jnp.pad(grad, ((0, pad), (0, 0)))
+            kp = None if keep is None else jnp.pad(keep.reshape(t), (0, pad))
+            out = _bwd_impl_pallas(xp, gamma, beta, w1, b1, w2, b2, kp, gp,
+                                   tile, eps, interpret)
+            dkeep = None if keep is None else out[7][:t].reshape(keep.shape)
+            return (out[0][:t],) + out[1:7] + (dkeep,)
+        return _bwd_impl_pallas(x, gamma, beta, w1, b1, w2, b2, keep, grad,
+                                tile, eps, interpret)
     _, vjp = jax.vjp(lambda *a: _reference(*a, eps), *res)
     return vjp(grad)
 

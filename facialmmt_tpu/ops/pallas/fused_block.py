@@ -234,7 +234,283 @@ def _fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep, pairs, eps,
     return out, (x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep)
 
 
+# ------------------------------------------------------------ Pallas backward --
+#
+# Flash-style backward: one kernel per grid cell recomputes LN1/qkv/softmax
+# for its window pairs ENTIRELY in VMEM (the residuals saved are just the
+# primal inputs) and emits dx plus fp32 accumulators for every weight grad.
+# TPU grid cells run SEQUENTIALLY, so the weight-grad outputs use a constant
+# index_map — one VMEM-resident block initialized at cell 0 and accumulated
+# into by every later cell.
+#
+# Bias cotangent (THE one deliberate shortcut): the primal `bias` is the full
+# (nW, h, N, N) rel-pos-bias (+ constant shift mask) tensor, whose exact
+# cotangent is the per-mask-group sum of ds — a (groups, h, 2N, 2N) fp32
+# accumulator that alone would blow VMEM at stage 0 (32 groups -> 5.5 MB).
+# But the ONLY trainable parameter behind it is the relative-position-bias
+# table, reached through `bias_hNN[None] + mask[:, None]`, whose broadcast vjp
+# SUMS the cotangent over the window axis; the mask is a compile-time
+# constant whose cotangent XLA discards.  So the kernel accumulates ds summed
+# over ALL windows into one tiny (h, 2N, 2N) buffer, and the wrapper returns
+# it entirely in group 0 (rest zeros): the group-sum any real consumer takes
+# is exact, and per-group resolution is only lost where it is provably
+# unused.  tests/test_pallas.py pins the table-level gradient against XLA.
+#
+# Stage fit: stages 0-2 fit the ~10 MB budget; stage 3 (C=768: 7.1 MB fp32
+# dwqkv + 4.7 MB bf16 weights) does not, and _pick_pairs_bwd returns 0 ->
+# XLA-autodiff fallback of the exact lane-slice formulation (the measured
+# fastest XLA backward, window_attention.py::_lane_slice_reference).
+
+def _make_bwd_kernel(num_heads: int, groups: int, pairs: int, n: int, c: int,
+                     eps: float, has_keep: bool):
+    hd = c // num_heads
+    scale = hd ** -0.5
+
+    def kernel(x_ref, dy_ref, g_ref, b_ref, w_ref, wb_ref, wp_ref, bias_ref,
+               *rest):
+        keep_ref = rest[0] if has_keep else None
+        (dx_ref, dg_ref, db_ref, dw_ref, dwb_ref, dwp_ref, dbp_ref,
+         dbias_ref) = rest[-8:]
+        cell = pl.program_id(0)
+        gamma = g_ref[:].astype(jnp.float32)
+        beta = b_ref[:].astype(jnp.float32)
+        # cell-local fp32 accumulators (jnp values across the pairs loop;
+        # ONE read-modify-write of the resident output blocks per cell).
+        # Indexed accumulators are PYTHON LISTS of 2D values stacked at the
+        # end — Mosaic has no scatter-add lowering for value-level .at[].add
+        dg_acc = jnp.zeros((1, c), jnp.float32)
+        db_acc = jnp.zeros((1, c), jnp.float32)
+        dw_accs = [jnp.zeros((c, c), jnp.float32) for _ in range(3)]
+        dwb_accs = [jnp.zeros((1, c), jnp.float32) for _ in range(3)]
+        dwp_acc = jnp.zeros((c, c), jnp.float32)
+        dbp_acc = jnp.zeros((1, c), jnp.float32)
+        dbias_accs = [jnp.zeros((2 * n, 2 * n), jnp.float32)
+                      for _ in range(num_heads)]
+        for p in range(pairs):
+            x2 = jnp.concatenate([x_ref[2 * p], x_ref[2 * p + 1]], axis=0)
+            dy2 = jnp.concatenate([dy_ref[2 * p], dy_ref[2 * p + 1]], axis=0)
+            xf = x2.astype(jnp.float32)                        # (2N, C)
+            dyf = dy2.astype(jnp.float32)
+            # ---- recompute forward (same math/casts as _make_kernel) ----
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+            rstd = jax.lax.rsqrt(var + eps)
+            xh = (xf - mean) * rstd
+            xn = (xh * gamma + beta).astype(x2.dtype)
+            q = (jnp.dot(xn, w_ref[0], preferred_element_type=jnp.float32)
+                 + wb_ref[0].astype(jnp.float32)) * scale
+            k = (jnp.dot(xn, w_ref[1], preferred_element_type=jnp.float32)
+                 + wb_ref[1].astype(jnp.float32)).astype(x2.dtype)
+            v = (jnp.dot(xn, w_ref[2], preferred_element_type=jnp.float32)
+                 + wb_ref[2].astype(jnp.float32)).astype(x2.dtype)
+            qs = q.astype(x2.dtype)
+            bias_idx = jax.lax.rem(cell * pairs + p, groups)
+            # ---- drop-path: branch grad is dy * keep; residual grad is dy --
+            if has_keep:
+                base = cell * (2 * pairs)
+                row = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 1), 0)
+                kvec = jnp.where(row < n, keep_ref[base + 2 * p, 0],
+                                 keep_ref[base + 2 * p + 1, 0])
+                dyk = (dyf * kvec).astype(x2.dtype)
+            else:
+                dyk = dy2
+            # ---- proj backward ----
+            # dattn = dyk @ wproj^T  (contract over wproj's output axis)
+            dattn = jax.lax.dot_general(
+                dyk, wp_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x2.dtype)
+            dbp_acc = dbp_acc + jnp.sum(dyf * (kvec if has_keep else 1.0),
+                                        axis=0, keepdims=True)
+            dq_heads, dk_heads, dv_heads, attn_heads = [], [], [], []
+            for h in range(num_heads):
+                qh = qs[:, h * hd:(h + 1) * hd]
+                kh = k[:, h * hd:(h + 1) * hd]
+                vh = v[:, h * hd:(h + 1) * hd]
+                s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+                s = s + bias_ref[bias_idx, h]
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                pr = e / jnp.sum(e, axis=-1, keepdims=True)   # fp32 (2N, 2N)
+                pr_b = pr.astype(x2.dtype)
+                attn_heads.append(jnp.dot(pr_b, vh,
+                                          preferred_element_type=jnp.float32))
+                dattn_h = dattn[:, h * hd:(h + 1) * hd]
+                # dpr = dattn_h @ vh^T ; dv = pr^T @ dattn_h
+                dpr = jax.lax.dot_general(
+                    dattn_h, vh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dv_heads.append(jax.lax.dot_general(
+                    pr_b, dattn_h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                # softmax vjp
+                ds = pr * (dpr - jnp.sum(dpr * pr, axis=-1, keepdims=True))
+                dbias_accs[h] = dbias_accs[h] + ds
+                ds_b = ds.astype(x2.dtype)
+                # dqs = ds @ k ; dk = ds^T @ qs   (qs carries the 1/sqrt(d))
+                dq_heads.append(jnp.dot(ds_b, kh,
+                                        preferred_element_type=jnp.float32)
+                                * scale)
+                dk_heads.append(jax.lax.dot_general(
+                    ds_b, qh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            attn = jnp.concatenate(attn_heads, axis=-1).astype(x2.dtype)
+            # dwproj += attn^T @ dyk
+            dwp_acc = dwp_acc + jax.lax.dot_general(
+                attn, dyk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq = jnp.concatenate(dq_heads, axis=-1)           # fp32 (2N, C)
+            dk = jnp.concatenate(dk_heads, axis=-1)
+            dv = jnp.concatenate(dv_heads, axis=-1)
+            # ---- qkv backward ----
+            dxn = jnp.zeros((2 * n, c), jnp.float32)
+            for i, d in enumerate((dq, dk, dv)):
+                d_b = d.astype(x2.dtype)
+                dxn = dxn + jax.lax.dot_general(
+                    d_b, w_ref[i], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dw_accs[i] = dw_accs[i] + jax.lax.dot_general(
+                    xn, d_b, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dwb_accs[i] = dwb_accs[i] + jnp.sum(d, axis=0, keepdims=True)
+            # ---- LayerNorm backward ----
+            dg_acc = dg_acc + jnp.sum(dxn * xh, axis=0, keepdims=True)
+            db_acc = db_acc + jnp.sum(dxn, axis=0, keepdims=True)
+            dxhat = dxn * gamma
+            m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+            m2 = jnp.mean(dxhat * xh, axis=-1, keepdims=True)
+            dx = dyf + rstd * (dxhat - m1 - xh * m2)
+            dx = dx.astype(dx_ref.dtype)
+            dx_ref[2 * p] = dx[:n]
+            dx_ref[2 * p + 1] = dx[n:]
+
+        dw_acc = jnp.stack(dw_accs)
+        dwb_acc = jnp.stack(dwb_accs)
+        dbias_acc = jnp.stack(dbias_accs)
+
+        @pl.when(cell == 0)
+        def _():
+            dg_ref[:] = dg_acc
+            db_ref[:] = db_acc
+            dw_ref[:] = dw_acc
+            dwb_ref[:] = dwb_acc
+            dwp_ref[:] = dwp_acc
+            dbp_ref[:] = dbp_acc
+            dbias_ref[:] = dbias_acc
+
+        @pl.when(cell != 0)
+        def _():
+            dg_ref[:] = dg_ref[:] + dg_acc
+            db_ref[:] = db_ref[:] + db_acc
+            dw_ref[:] = dw_ref[:] + dw_acc
+            dwb_ref[:] = dwb_ref[:] + dwb_acc
+            dwp_ref[:] = dwp_ref[:] + dwp_acc
+            dbp_ref[:] = dbp_ref[:] + dbp_acc
+            dbias_ref[:] = dbias_ref[:] + dbias_acc
+
+    return kernel
+
+
+def _pick_pairs_bwd(w: int, h: int, n: int, c: int, groups: int,
+                    want: int) -> int:
+    """Pair count for the backward kernel; 0 = does not fit (XLA fallback).
+    Budget mirrors _pick_pairs but adds the fp32 weight-grad accumulators and
+    the x/dy/dx triple-block traffic."""
+    n_p = (n + 15) // 16 * 16
+    n2_p = (2 * n + 15) // 16 * 16
+    c_p = (c + 127) // 128 * 128
+    lane2n = (2 * n + 127) // 128 * 128
+    bias_bytes = groups * h * n2_p * lane2n * 2
+    weight_bytes = (3 * c * c_p + c * c_p) * 2 * 2
+    accum_bytes = (3 * c * c_p + c * c_p) * 4 + h * n2_p * lane2n * 4 \
+        + 8 * c_p * 4
+    budget = 10 * 1024 * 1024 - bias_bytes - weight_bytes - accum_bytes
+    per_pair = 3 * 2 * 2 * n_p * c_p * 2          # x + dy + dx, double-buffered
+    if budget < per_pair:
+        return 0
+    pairs = max(min(want, budget // per_pair), 1)
+    while (w // 2) % pairs != 0:
+        pairs -= 1
+    return pairs
+
+
+def _bwd_impl_pallas(x, gamma, beta, wqkv, bqkv, wproj, bias, keep, grad,
+                     pairs, eps, interpret):
+    w, n, c = x.shape
+    nw = bias.shape[0]
+    h = bias.shape[1]
+    big = jnp.asarray(_block_diag_bias(bias, 2), jnp.bfloat16)
+    groups = big.shape[0]
+    blk = pl.BlockSpec((2 * pairs, n, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    in_specs = [blk, blk,
+                const(1, c), const(1, c),
+                const(3, c, c), const(3, 1, c),
+                const(c, c),
+                const(groups, h, 2 * n, 2 * n)]
+    operands = [x, grad.astype(x.dtype),
+                gamma.reshape(1, c), beta.reshape(1, c),
+                wqkv.T.reshape(3, c, c).transpose(0, 2, 1).astype(jnp.bfloat16),
+                bqkv.reshape(3, 1, c),
+                wproj.astype(jnp.bfloat16), big]
+    has_keep = keep is not None
+    if has_keep:
+        in_specs.append(pl.BlockSpec((w, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(keep.reshape(w, 1).astype(jnp.float32))
+    out_shape = [jax.ShapeDtypeStruct((w, n, c), x.dtype),
+                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                 jax.ShapeDtypeStruct((3, c, c), jnp.float32),
+                 jax.ShapeDtypeStruct((3, 1, c), jnp.float32),
+                 jax.ShapeDtypeStruct((c, c), jnp.float32),
+                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                 jax.ShapeDtypeStruct((h, 2 * n, 2 * n), jnp.float32)]
+    out_specs = [blk, const(1, c), const(1, c), const(3, c, c),
+                 const(3, 1, c), const(c, c), const(1, c),
+                 const(h, 2 * n, 2 * n)]
+    dx, dg, db, dw, dwb, dwp, dbp, dbias2 = pl.pallas_call(
+        _make_bwd_kernel(h, groups, pairs, n, c, eps, has_keep),
+        grid=(w // (2 * pairs),),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    # kernel weight layout back to the primal layouts:
+    # w_ref[i] == wqkv[:, i*C:(i+1)*C], so dwqkv = concat(dw, axis=1)
+    dwqkv = jnp.concatenate([dw[0], dw[1], dw[2]], axis=1)
+    dbqkv = dwb.reshape(3 * c)
+    # group-0 bias cotangent (see block comment): the two diagonal N-blocks of
+    # the window-summed ds, placed in group 0 — group-sum-exact
+    dbias_sum = dbias2[:, :n, :n] + dbias2[:, n:, n:]         # (h, N, N)
+    dbias = jnp.zeros((nw, h, n, n), bias.dtype)
+    dbias = dbias.at[0].set(dbias_sum.astype(bias.dtype))
+    dkeep = None if keep is None else jnp.zeros_like(keep)
+    return (dx, dg.reshape(c).astype(gamma.dtype),
+            db.reshape(c).astype(beta.dtype), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(bqkv.dtype), dwp.astype(wproj.dtype),
+            dbp.reshape(c), dbias, dkeep)
+
+
 def _bwd(pairs, eps, interpret, res, grad):
+    x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep = res
+    w, n, c = x.shape
+    h = bias.shape[1]
+    groups = max(bias.shape[0] // 2, 1)
+    # cap the unroll at 8 pairs: the backward body is ~2.5x the forward's
+    # op count and Mosaic lowering time grows with the unroll (measured 232 s
+    # at 16 pairs on stage 0); extra grid cells are nearly free
+    p_bwd = _pick_pairs_bwd(w, h, n, c, groups, min(pairs, 8))
+    backend_ok = jax.default_backend() == "tpu" or interpret
+    if backend_ok and p_bwd > 0 and w % 2 == 0 \
+            and (bias.shape[0] == 1 or bias.shape[0] % 2 == 0):
+        out = _bwd_impl_pallas(x, gamma, beta, wqkv, bqkv, wproj, bias, keep,
+                               grad, p_bwd, eps, interpret)
+        dx, dg, db, dwqkv, dbqkv, dwp, dbp, dbias, dkeep = out
+        return (dx, dg, db, dwqkv, dbqkv, dwp, dbp.astype(bproj.dtype),
+                dbias, dkeep)
     _, vjp = jax.vjp(lambda *a: _reference(*a, eps), *res)
     return vjp(grad)
 

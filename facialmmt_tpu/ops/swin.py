@@ -332,16 +332,27 @@ class SwinBlock(nn.Module):
         # Engages on eval forwards AND train-mode forwards whose only
         # stochasticity is drop-path (attn/proj dropout 0.0, the reference
         # config) — the kernel applies the per-window stochastic-depth scale
-        # via its `keep` operand.  Grad-bearing joint training passes
-        # attention_impl='xla' and never reaches here (models/pipeline.py).
+        # via its `keep` operand.  GRAD-BEARING paths (aux / joint training)
+        # pass 'auto_grad': same kernel, but gated on the flash-style Pallas
+        # BACKWARD fitting VMEM (ops/pallas/fused_block.py::_pick_pairs_bwd —
+        # stages 0-2; stage 3's fp32 weight-grad accumulators do not fit, and
+        # there the XLA-recompute vjp loses to plain lane-slice autodiff).
         # LN commutes with the token permutation, so the shifted path
         # permutes RAW x and the residual is added inside the kernel
         # pre-inverse-permute.
         train_ok = (not deterministic
                     and self.attn_drop == 0.0 and self.drop == 0.0)
+        grad_mode = self.fused_attention == "auto_grad"
+        if grad_mode:
+            from facialmmt_tpu.ops.pallas.fused_block import _pick_pairs_bwd
+
+            bwd_fits = _pick_pairs_bwd(
+                max(w_total, 2), self.num_heads, n, c,
+                max(nw_m // 2, 1), 16) > 0
         use_fused_block = (
             (deterministic or train_ok) and not self.is_initializing()
-            and self.fused_attention in ("pair", "auto")
+            and (self.fused_attention in ("pair", "auto")
+                 or (grad_mode and bwd_fits))
             and _fused_block_backend_ok()
             and w_total % 2 == 0 and (nw_m == 1 or nw_m % 2 == 0))
         if use_fused_block:
@@ -392,12 +403,22 @@ class SwinBlock(nn.Module):
         ln2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         fc1 = SwinLinear(hid, dtype=self.dtype, name="mlp_fc1")
         fc2 = SwinLinear(self.dim, dtype=self.dtype, name="mlp_fc2")
-        use_fused_mlp = (
-            self.fused_mlp == "on"
-            or (self.fused_mlp == "auto" and jax.default_backend() == "tpu"))
+        if self.fused_mlp == "auto_grad":
+            # grad-bearing path: engage only where the Pallas backward fits
+            # (block_mlp.py::_bwd_tile_for — stages 0-2)
+            from facialmmt_tpu.ops.pallas.block_mlp import _bwd_tile_for
+
+            use_fused_mlp = (_fused_block_backend_ok()
+                             and _bwd_tile_for(self.dim, hid, b * l) > 0)
+        else:
+            use_fused_mlp = (
+                self.fused_mlp == "on"
+                or (self.fused_mlp == "auto"
+                    and jax.default_backend() == "tpu"))
         # the fused kernel serves eval forwards and (via its per-token `keep`
         # stochastic-depth operand) train-mode forwards with dropout 0.0;
-        # grad-bearing training keeps XLA autodiff (mlp_impl='xla')
+        # grad-bearing training uses 'auto_grad' (Pallas backward) where it
+        # fits and XLA autodiff elsewhere
         train_ok = not deterministic and self.drop == 0.0
         if (use_fused_mlp and (deterministic or train_ok)
                 and not self.is_initializing()):
@@ -533,15 +554,19 @@ class SwinTransformer(nn.Module):
                     drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
                     drop_path=float(dpr[blk_i]),
                     fused_attention={"xla": "off", "pallas": "on",
-                                     "pair": "pair",
-                                     "auto": "auto"}[attn_impl],
+                                     "pair": "pair", "auto": "auto",
+                                     "auto_grad": "auto_grad"}[attn_impl],
                     # the explicit 'xla' override marks a grads-flow call
-                    # (aux/joint training) — demote the MLP kernel with it,
-                    # since train-mode forwards can otherwise engage it
+                    # with the kernels demoted entirely; 'auto_grad' marks a
+                    # grads-flow call that engages the kernels where their
+                    # Pallas backwards fit (stages 0-2), lane-slice elsewhere
                     fused_mlp={"xla": "off", "pallas": "on",
-                               "auto": "auto"}[
+                               "auto": "auto", "auto_grad": "auto_grad"}[
                                    "xla" if attn_impl == "xla"
-                                   else cfg.mlp_impl],
+                                   else ("auto_grad"
+                                         if (attn_impl == "auto_grad"
+                                             and cfg.mlp_impl != "xla")
+                                         else cfg.mlp_impl)],
                     dtype=self.dtype,
                     name=f"stage_{stage}_block_{d}")(x, deterministic)
                 blk_i += 1
