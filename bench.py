@@ -158,20 +158,27 @@ def _train_throughput(jax, jnp, model, cfg, variables, batch_size):
 
 def _joint_train_throughput(jax, jnp, model, cfg, variables, batch_size,
                             accum=4):
-    """Joint training (swin_from_target=1): the microbatch lax.scan
-    accumulation step with the Swin backward over every face — the
-    memory-critical variant the reference's actual training loop runs
-    (reference train.py:46-152; VERDICT r2 weak #6)."""
+    """Joint training (swin_from_target=1): Swin backward over every face —
+    the variant the reference's actual training loop runs (reference
+    train.py:46-152; VERDICT r2 weak #6).  accum > 1 uses the microbatch
+    lax.scan accumulation step (the memory-critical fallback); accum == 1
+    runs the whole effective batch as ONE fused step — the text tower then
+    sees all unique dialogues at once and Swin all faces, which packs far
+    better than 1-dialogue microbatches (remat keeps it inside HBM)."""
     from __graft_entry__ import _make_batch
 
     from facialmmt_tpu.config import OptimConfig
     from facialmmt_tpu.train.optim import MultiTaskState, make_optimizer
-    from facialmmt_tpu.train.steps import make_multimodal_train_step_accum
+    from facialmmt_tpu.train.steps import (make_multimodal_train_step,
+                                           make_multimodal_train_step_accum)
 
     micro = batch_size // accum
     subs = [_make_batch(cfg, b=micro, rng_seed=i, utts_per_dia=8,
                         faces_per_utt=8) for i in range(accum)]
-    batches = jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
+    if accum == 1:
+        batches = subs[0]
+    else:
+        batches = jax.tree.map(lambda *xs: jnp.stack(xs), *subs)
 
     opt_cfg = OptimConfig(warm_up=0.0)
     swin_tx = make_optimizer(opt_cfg, opt_cfg.aux_lr, 1000)
@@ -180,10 +187,10 @@ def _joint_train_throughput(jax, jnp, model, cfg, variables, batch_size,
     state = MultiTaskState.create(
         jax.tree.map(jnp.copy, variables["params"]),
         jax.tree.map(jnp.copy, variables["batch_stats"]), swin_tx, mm_tx)
-    step = jax.jit(
-        make_multimodal_train_step_accum(model, swin_tx, mm_tx,
-                                         swin_from_target=True),
-        donate_argnums=(0,))
+    make = (make_multimodal_train_step if accum == 1
+            else make_multimodal_train_step_accum)
+    step = jax.jit(make(model, swin_tx, mm_tx, swin_from_target=True),
+                   donate_argnums=(0,))
 
     _progress("bench: joint-train compile...")
     state, loss = step(state, batches, jax.random.PRNGKey(9))
@@ -261,6 +268,7 @@ def main():
         "BENCH_FACE_CHUNK", 1024 if eval_batch >= 256 else 0))
     train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", 32))
     joint_batch = int(os.environ.get("BENCH_JOINT_BATCH", 32))
+    joint_accum = int(os.environ.get("BENCH_JOINT_ACCUM", 4))
     aux_batch = int(os.environ.get("BENCH_AUX_BATCH", 150))
 
     ev, variables = _eval_throughput(jax, jnp, model, cfg, eval_batch,
@@ -270,7 +278,8 @@ def main():
     _progress(f"bench: train done ({tr['best']:.1f} utt/s)")
     aux = _aux_throughput(jax, jnp, model, cfg, variables, aux_batch)
     _progress(f"bench: aux done ({aux['best']:.1f} img/s)")
-    jt = _joint_train_throughput(jax, jnp, model, cfg, variables, joint_batch)
+    jt = _joint_train_throughput(jax, jnp, model, cfg, variables, joint_batch,
+                                 accum=joint_accum)
     _progress(f"bench: joint done ({jt['best']:.1f} utt/s)")
 
     # auditable FLOPs accounting (utils/flops.py): model TFLOP/s + MFU at the
@@ -297,6 +306,7 @@ def main():
         "joint_train_utt_per_sec": round(jt["best"], 2),
         "joint_train_median": round(jt["median"], 2),
         "joint_batch": joint_batch,
+        "joint_accum": joint_accum,
         "aux_img_per_sec": round(aux["best"], 2),
         "aux_median": round(aux["median"], 2),
         "aux_batch": aux_batch,
