@@ -572,3 +572,31 @@ def test_swin_block_auto_grad_grads_match_xla(monkeypatch, rng):
         for path, a in flat_a:
             assert l2rel(a, flat_b[path]) < 5e-2, (shift, path)
         assert l2rel(gxa, gxb) < 5e-2
+
+
+def test_shift_permute_matches_take(rng):
+    """shift_permute (interpret) is BITWISE the jnp.take row gather with
+    shifted_window_perms, both directions + round trip + vjp.  The kernel is
+    a measured-negative record (0.58-0.97x the take on v5e — see its module
+    docstring) and default-off, but its exactness is pinned so it stays a
+    valid building block."""
+    from facialmmt_tpu.ops.pallas.shift_permute import shift_permute
+    from facialmmt_tpu.ops.swin import shifted_window_perms
+
+    for (h, w, ws, s, c) in [(56, 56, 7, 3, 96), (14, 14, 7, 3, 384),
+                             (21, 14, 7, 2, 8)]:
+        x = jnp.asarray(rng.normal(size=(2, h * w, c)), jnp.float32)
+        perm, inv = shifted_window_perms(h, w, ws, s)
+        ref_f = jnp.take(x, jnp.asarray(perm), axis=1)
+        ref_i = jnp.take(x, jnp.asarray(inv), axis=1)
+        got_f = shift_permute(x, h, w, ws, s, False, True)
+        got_i = shift_permute(x, h, w, ws, s, True, True)
+        assert bool(jnp.all(got_f == ref_f)), (h, w, c)
+        assert bool(jnp.all(got_i == ref_i)), (h, w, c)
+        rt = shift_permute(got_f, h, w, ws, s, True, True)
+        assert bool(jnp.all(rt == x))
+        g = jax.grad(lambda x: jnp.sum(
+            shift_permute(x, h, w, ws, s, False, True) * ref_i))(x)
+        g_ref = jax.grad(lambda x: jnp.sum(
+            jnp.take(x, jnp.asarray(perm), axis=1) * ref_i))(x)
+        assert bool(jnp.all(g == g_ref))
