@@ -80,9 +80,14 @@ def _eval_throughput(jax, jnp, model, cfg, batch_size, face_chunk):
     from facialmmt_tpu.train.steps import chunked_fer_probs
 
     batch = _make_batch(cfg, b=batch_size, utts_per_dia=8, faces_per_utt=8)
+    # init on a SMALL batch: param shapes are batch-independent, and init
+    # runs the unchunked XLA forward (is_initializing suppresses the fused
+    # kernels), which at BENCH_BATCH >= 256 is exactly the single program
+    # whose OOM the chunked eval exists to avoid (r3 review)
+    init_batch = _make_batch(cfg, b=8, utts_per_dia=8, faces_per_utt=8)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
-        batch)
+        init_batch)
 
     @jax.jit
     def eval_step(variables, batch, key, carry):

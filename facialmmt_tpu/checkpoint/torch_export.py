@@ -86,6 +86,11 @@ def export_additive_attention(tree, out, prefix: str) -> None:
 def export_crossmodal(tree, out, prefix: str) -> None:
     p = prefix + "." if prefix else ""
     export_norm(tree["final_norm"], out, f"{p}layer_norm")
+    # persistent buffers the reference module's strict load_state_dict expects
+    # (reference CrossmodalTransformer.py:44; position_embedding.py:42 — the
+    # _float_tensor is an uninitialized device/dtype sentinel, value unused)
+    out[f"{p}version"] = np.asarray([2.0], np.float32)
+    out[f"{p}embed_positions._float_tensor"] = np.zeros((1,), np.float32)
     for i in range(_num_layers(tree)):
         lt = tree[f"layer_{i}"]
         lp = f"{p}layers.{i}"
@@ -103,7 +108,10 @@ def export_crossmodal(tree, out, prefix: str) -> None:
 
 def export_swin_backbone(params, batch_stats, out, prefix: str) -> None:
     """Inverse of convert_swin_backbone (reference Swin_Transformer.py:434-541).
-    Stage/block structure is derived from the stage_{s}_block_{d} keys."""
+    Stage/block structure is derived from the stage_{s}_block_{d} keys; so are
+    the window size (bias-table rows = (2ws-1)^2) and the per-stage grid
+    resolution (head_linear fan-in = final_tokens * final_dim), which the
+    persistent index/mask buffers below need."""
     p = prefix + "." if prefix else ""
     depths = []
     s = 0
@@ -119,7 +127,17 @@ def export_swin_backbone(params, batch_stats, out, prefix: str) -> None:
     if "norm" in params["patch_embed"]:
         export_norm(params["patch_embed"]["norm"], out, f"{p}patch_embed.norm")
 
+    # geometry for the reference modules' persistent buffers
+    # (Swin_Transformer.py:103 relative_position_index, :231 attn_mask):
+    from facialmmt_tpu.ops.swin import (relative_position_index,
+                                        shifted_window_mask)
+    embed_dim = int(np.asarray(params["patch_embed"]["proj_kernel"]).shape[3])
+    c_final = embed_dim * 2 ** (len(depths) - 1)
+    head_in = int(np.asarray(params["head_linear"]["kernel"]).shape[0])
+    final_res = int(round(np.sqrt(head_in // c_final)))
+
     for s in range(len(depths)):
+        res = final_res * 2 ** (len(depths) - 1 - s)
         for d in range(depths[s]):
             bt = params[f"stage_{s}_block_{d}"]
             bp = f"{p}layers.{s}.blocks.{d}"
@@ -127,8 +145,18 @@ def export_swin_backbone(params, batch_stats, out, prefix: str) -> None:
             export_norm(bt["norm2"], out, f"{bp}.norm2")
             export_linear(bt["attn"]["qkv"], out, f"{bp}.attn.qkv")
             export_linear(bt["attn"]["proj"], out, f"{bp}.attn.proj")
-            out[f"{bp}.attn.relative_position_bias_table"] = \
-                _np(bt["attn"]["relative_position_bias_table"])
+            table = np.asarray(bt["attn"]["relative_position_bias_table"])
+            out[f"{bp}.attn.relative_position_bias_table"] = _np(table)
+            ws = (int(round(np.sqrt(table.shape[0]))) + 1) // 2
+            ws_eff = min(ws, res)
+            out[f"{bp}.attn.relative_position_index"] = \
+                relative_position_index(ws_eff).astype(np.int64)
+            # shifted blocks carry the SW-MSA mask buffer; non-shifted blocks
+            # register None, which torch omits from the state_dict
+            shift = 0 if (d % 2 == 0 or res <= ws) else ws // 2
+            if shift > 0:
+                out[f"{bp}.attn_mask"] = shifted_window_mask(
+                    res, res, ws_eff, shift).astype(np.float32)
             export_linear(bt["mlp_fc1"], out, f"{bp}.mlp.fc1")
             export_linear(bt["mlp_fc2"], out, f"{bp}.mlp.fc2")
         if s < len(depths) - 1:

@@ -317,7 +317,13 @@ def _bwd(eps, interpret, res, grad):
         return _bwd_impl_pallas(x, gamma, beta, w1, b1, w2, b2, keep, grad,
                                 tile, eps, interpret)
     _, vjp = jax.vjp(lambda *a: _reference(*a, eps), *res)
-    return vjp(grad)
+    grads = vjp(grad)
+    if keep is not None:
+        # keep (stochastic-depth mask) is non-differentiable by convention:
+        # the Pallas backward returns a zero cotangent, so the fallback must
+        # too — same custom_vjp, same gradients on every backend (r3 review)
+        grads = grads[:7] + (jnp.zeros_like(grads[7]),)
+    return grads
 
 
 fused_ln_mlp_residual.defvjp(_fwd, _bwd)

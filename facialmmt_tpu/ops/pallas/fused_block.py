@@ -512,7 +512,14 @@ def _bwd(pairs, eps, interpret, res, grad):
         return (dx, dg, db, dwqkv, dbqkv, dwp, dbp.astype(bproj.dtype),
                 dbias, dkeep)
     _, vjp = jax.vjp(lambda *a: _reference(*a, eps), *res)
-    return vjp(grad)
+    grads = vjp(grad)
+    if keep is not None:
+        # the Pallas backward treats `keep` (stochastic-depth bernoulli mask,
+        # never trainable) as NON-differentiable and returns a zero
+        # cotangent; zero the fallback's too so the same custom_vjp yields
+        # the same gradients regardless of backend/stage (r3 review)
+        grads = grads[:8] + (jnp.zeros_like(grads[8]),)
+    return grads
 
 
 fused_attention_block.defvjp(_fwd, _bwd)
@@ -541,18 +548,9 @@ fused_attention_block.defvjp(_fwd, _bwd)
 # kernel stays as the measured-neutral record, default off — same discipline
 # as the rejected int8/XLA-pairing candidates in CLAUDE.md's ledger.
 
-def _erf(x):
-    """float32 erf (Mosaic lacks an erf primitive): Abramowitz & Stegun
-    7.1.26, max abs error 1.5e-7 (same polynomial as block_mlp.py)."""
-    sign = jnp.sign(x)
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + jnp.float32(0.3275911) * a)
-    poly = t * (jnp.float32(0.254829592)
-                + t * (jnp.float32(-0.284496736)
-                       + t * (jnp.float32(1.421413741)
-                              + t * (jnp.float32(-1.453152027)
-                                     + t * jnp.float32(1.061405429)))))
-    return sign * (1.0 - poly * jnp.exp(-a * a))
+# float32 erf for the in-kernel GELU: ONE definition, shared with the tiled
+# MLP kernel so a numerics fix cannot silently diverge the two (r3 review)
+from facialmmt_tpu.ops.pallas.block_mlp import _erf  # noqa: E402
 
 
 def _make_whole_kernel(num_heads: int, groups: int, pairs: int, n: int,
@@ -625,6 +623,20 @@ def _whole_fwd_impl(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
     hid_p = (hid + 127) // 128 * 128
     c_p = (c + 127) // 128 * 128
     mlp_bytes = (c * hid_p + hid * c_p) * 2 * 2
+    # _pick_pairs floors at 1 pair, which is right for the attention-half
+    # kernel (its ~10 MB budget is soft: stage 3 runs fine within the real
+    # ~16 MB VMEM) but wrong here — the whole-block weights alone blow the
+    # HARD cap at stage-3 shapes (~30 MB), so fail loudly instead of letting
+    # Mosaic die with a VMEM-exhaustion error (r3 review)
+    n_p = (n + 15) // 16 * 16
+    bias_bytes = groups * h * ((2 * n + 15) // 16 * 16) * \
+        ((2 * n + 127) // 128 * 128) * 2 * 2
+    fixed = bias_bytes + (3 * c * c_p + c * c_p) * 2 * 2 + mlp_bytes
+    if fixed + 2 * 2 * 2 * n_p * c_p * 2 > 14 * 1024 * 1024:
+        raise ValueError(
+            f"fused_whole_block does not fit VMEM at C={c}, hid={hid} "
+            f"(weights+bias ~{fixed >> 20} MB); use the split kernels "
+            f"(fused_attention_block + fused_ln_mlp_residual)")
     pairs = _pick_pairs(w, h, n, c, groups, pairs, extra_bytes=mlp_bytes)
     blk = pl.BlockSpec((2 * pairs, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)

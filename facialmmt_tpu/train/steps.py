@@ -152,12 +152,20 @@ def chunked_fer_probs(model: FacialMMTPipeline, variables, faces, rng,
     `face_chunk` so only one tile's activations are resident (what lets eval
     batch >= 256 / 2048 faces fit single-chip HBM — VERDICT r2 weak #3).
     Returns (N, num_labels) FER distributions, or None when chunking does not
-    apply (N <= chunk, or chunk does not divide N)."""
+    apply (N <= chunk).  A face count that does not divide the chunk is
+    zero-padded up to the next tile boundary (static shapes; the pad rows'
+    probs are sliced off) — silently falling back to the unchunked program
+    would re-create the very OOM this exists to avoid (r3 review)."""
     n = faces.shape[0]
-    if not face_chunk or n <= face_chunk or n % face_chunk != 0:
+    if not face_chunk or n <= face_chunk:
         return None
-    tiles = faces.reshape((n // face_chunk, face_chunk) + faces.shape[1:])
-    keys = jax.random.split(jax.random.fold_in(rng, 7), n // face_chunk)
+    n_pad = -n % face_chunk
+    if n_pad:
+        faces = jnp.concatenate(
+            [faces, jnp.zeros((n_pad,) + faces.shape[1:], faces.dtype)])
+    total = n + n_pad
+    tiles = faces.reshape((total // face_chunk, face_chunk) + faces.shape[1:])
+    keys = jax.random.split(jax.random.fold_in(rng, 7), total // face_chunk)
 
     def fer_tile(xs):
         tile, key = xs
@@ -166,7 +174,7 @@ def chunked_fer_probs(model: FacialMMTPipeline, variables, faces, rng,
                            method=FacialMMTPipeline.fer_probs)
 
     probs = jax.lax.map(fer_tile, (tiles, keys))
-    return probs.reshape((n,) + probs.shape[2:])
+    return probs.reshape((total,) + probs.shape[2:])[:n]
 
 
 def make_multimodal_eval_step(model: FacialMMTPipeline, *, sample_gumbel: bool,

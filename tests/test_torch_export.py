@@ -194,3 +194,82 @@ def test_cli_export_pipeline_checkpoint(tmp_path, rng):
     _assert_trees_equal(tree["params"]["swin_model"], sw_back["params"])
     _assert_trees_equal(tree["batch_stats"]["swin_model"],
                         sw_back["batch_stats"])
+
+
+def _reference_modules():
+    """Import reference modules with timm stubbed and .cuda() no-op'd."""
+    import facialmmt_tpu.checkpoint.torch_convert as tc
+    try:
+        tc.load_torch_state_dict("/nonexistent")  # installs the timm stub
+    except Exception:
+        pass
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    import modules.CrossmodalTransformer as ref_crossmodal
+    import modules.SwinTransformer.Swin_Transformer as ref_swin
+    return ref_swin, ref_crossmodal
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference tree not available")
+def test_swin_export_loads_into_reference_backbone_strict(rng):
+    """Full-size round trip: reference Swin state_dict -> convert_swin_fer ->
+    export_swin_fer -> strict load_state_dict back into the reference's own
+    SwinTransformer, byte-equal on every tensor INCLUDING the persistent
+    relative_position_index / attn_mask buffers (reference
+    Swin_Transformer.py:103,231) the export must synthesize (r3 review: a
+    strict load previously failed with missing buffer keys)."""
+    from facialmmt_tpu.checkpoint.torch_convert import convert_swin_fer
+    from facialmmt_tpu.checkpoint.torch_export import export_swin_fer
+    from facialmmt_tpu.config import FacialMMTConfig
+
+    ref_swin, _ = _reference_modules()
+    torch.manual_seed(0)
+    backbone = ref_swin.SwinTransformer(
+        img_size=224, patch_size=4, in_chans=3, embed_dim=96,
+        depths=[2, 2, 6, 2], num_heads=[3, 6, 12, 24], window_size=7,
+        drop_path_rate=0.0, ape=False, patch_norm=True).eval()
+    head_linear = torch.nn.Linear(512, 64)
+    head_cls = torch.nn.Linear(64, 7)
+    sd = {f"swin.{k}": v.detach().numpy()
+          for k, v in backbone.state_dict().items()}
+    sd.update({f"linear.{k}": v.detach().numpy()
+               for k, v in head_linear.state_dict().items()})
+    sd.update({f"classifier.{k}": v.detach().numpy()
+               for k, v in head_cls.state_dict().items()})
+
+    variables = convert_swin_fer(sd, FacialMMTConfig())
+    out = export_swin_fer(variables)
+
+    back = {k[len("swin."):]: torch.as_tensor(v) for k, v in out.items()
+            if k.startswith("swin.")}
+    backbone.load_state_dict(back, strict=True)
+    for k, v in backbone.state_dict().items():
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      sd[f"swin.{k}"], err_msg=k)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference tree not available")
+def test_crossmodal_export_loads_into_reference_encoder_strict(rng):
+    """export_crossmodal emits the reference encoder's full key set including
+    its persistent buffers ('version', 'embed_positions._float_tensor' —
+    reference CrossmodalTransformer.py:44, position_embedding.py:42), so the
+    strict load passes."""
+    from facialmmt_tpu.checkpoint.torch_convert import convert_crossmodal
+    from facialmmt_tpu.checkpoint.torch_export import export_crossmodal
+
+    _, ref_cm = _reference_modules()
+    torch.manual_seed(0)
+    enc = ref_cm.CrossModalTransformerEncoder(32, 4, 2).eval()
+    sd = {k: v.detach().numpy() for k, v in enc.state_dict().items()}
+    tree = convert_crossmodal(sd, "", 2)
+    out = {}
+    export_crossmodal(tree, out, "")
+    enc.load_state_dict({k: torch.as_tensor(v) for k, v in out.items()},
+                        strict=True)
+    for k in sd:
+        if k in ("version", "embed_positions._float_tensor"):
+            continue  # dtype/device sentinels, values unused
+        np.testing.assert_array_equal(out[k], sd[k], err_msg=k)

@@ -291,7 +291,13 @@ def test_chunked_eval_step_matches_fused(rng):
     lc, _ = chunked(variables["params"], variables["batch_stats"], batch, key)
     np.testing.assert_array_equal(np.asarray(lf), np.asarray(lc))
 
-    # non-dividing chunk falls back to the fused program (still correct)
+    # a non-dividing chunk still CHUNKS (zero-padded final tile, pad probs
+    # sliced off) — silently falling back to the fused program would
+    # re-create the OOM the flag exists to avoid (r3 review)
+    from facialmmt_tpu.train.steps import chunked_fer_probs
+    probs_odd = chunked_fer_probs(model, variables, batch["faces"], key, 5)
+    assert probs_odd is not None and probs_odd.shape[0] == \
+        batch["faces"].shape[0]
     odd = jax.jit(make_multimodal_eval_step(model, sample_gumbel=False,
                                             face_chunk=5))
     lo, _ = odd(variables["params"], variables["batch_stats"], batch, key)
