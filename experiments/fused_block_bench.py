@@ -282,11 +282,80 @@ def main_bwd(only=None):
             bwd_stage(rng, si, grid, c, h, shifted)
 
 
+# ---- resident vs SPILL backward at stages where BOTH fit: is the spill
+# variant (weight grads as K=T matmuls outside the kernel) also better at
+# mid widths, where the resident per-pair K=2N weight-grad matmuls produce
+# (C, C) outputs?  Run: ... --spill [stages]
+def spill_stage(rng, si, grid, c, h, shifted):
+    from facialmmt_tpu.ops.pallas.fused_block import (_bwd_impl_pallas,
+                                                      _bwd_impl_spill,
+                                                      _pick_pairs_bwd,
+                                                      _pick_pairs_bwd_spill,
+                                                      _reference)
+
+    x, *args = make_stage(rng, grid, c, h, shifted)
+    gamma, beta, wqkv, bqkv, wproj, bproj, bias = args
+    dy = jax.jit(lambda k: jax.random.normal(k, x.shape, x.dtype))(
+        jax.random.PRNGKey(int(rng.integers(1 << 30))))
+    w = x.shape[0]
+    groups = max(bias.shape[0] // 2, 1)
+    p_res = _pick_pairs_bwd(w, h, 49, c, groups, 8)
+    p_sp = _pick_pairs_bwd_spill(w, h, 49, c, groups, 8)
+    if p_res == 0 or p_sp == 0:
+        print(f"stage{si}: resident pairs={p_res} spill pairs={p_sp} — "
+              f"skipping (need both)", flush=True)
+        return
+
+    def timed_bwd(impl, pairs):
+        @jax.jit
+        def chain(x, dy, gamma, beta, wqkv, bqkv, wproj, bias):
+            def body(_, x):
+                out = impl(x, gamma, beta, wqkv, bqkv, wproj, bias, None,
+                           dy, pairs, 1e-5, False)
+                dx = out[0]
+                wsum = sum(jnp.sum(g.astype(jnp.float32))
+                           for g in out[1:] if g is not None)
+                return (x * 0.99 + 1e-3 * dx
+                        + (wsum * 1e-30).astype(x.dtype)).astype(x.dtype)
+            return jax.lax.fori_loop(0, ITERS, body, x)
+
+        out = chain(x, dy, gamma, beta, wqkv, bqkv, wproj, bias)
+        float(jnp.sum(out.astype(jnp.float32)))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = chain(x, dy, gamma, beta, wqkv, bqkv, wproj, bias)
+            float(jnp.sum(out.astype(jnp.float32)))
+            best = min(best, (time.perf_counter() - t0) / ITERS)
+        return best * 1e3
+
+    a_ms = timed_bwd(_bwd_impl_pallas, p_res)
+    b_ms = timed_bwd(_bwd_impl_spill, p_sp)
+    tag = "shift" if shifted else "     "
+    print(f"stage{si} {tag} (W={w:5d}, h={h:2d}, C={c:3d}): "
+          f"resident {a_ms:6.2f} ms (p={p_res})   "
+          f"spill {b_ms:6.2f} ms (p={p_sp})   ({a_ms / b_ms:4.2f}x)",
+          flush=True)
+
+
+def main_spill(only=None):
+    rng = np.random.default_rng(0)
+    print(f"backend: {jax.default_backend()}, {B} faces, bwd-only per-op ms "
+          f"(chained x{ITERS}, best of 3)", flush=True)
+    for si, (grid, c, h) in enumerate(STAGES):
+        if only is not None and si not in only:
+            continue
+        for shifted in (False, True):
+            spill_stage(rng, si, grid, c, h, shifted)
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     if argv and argv[0] == "--whole":
         main_whole([int(a) for a in argv[1:]] or None)
     elif argv and argv[0] == "--bwd":
         main_bwd([int(a) for a in argv[1:]] or None)
+    elif argv and argv[0] == "--spill":
+        main_spill([int(a) for a in argv[1:]] or None)
     else:
         main([int(a) for a in argv] or None)

@@ -75,8 +75,9 @@ class FacialMMTPipeline(nn.Module):
         probs_flat = batch.get("face_probs")
         if probs_flat is None:
             # joint training (grads into Swin): 'auto_grad' keeps the fused
-            # kernels with their flash-style Pallas backwards where they fit
-            # (stages 0-2) and lane-slice XLA autodiff elsewhere
+            # kernels with their flash-style Pallas backwards — resident
+            # weight-grad accumulators at stages 0-2, the spill variant at
+            # stage 3 — and lane-slice XLA autodiff elsewhere
             impl = ("auto_grad" if (not deterministic
                                     and not stop_swin_gradient
                                     and cfg.swin.attention_impl == "auto")
@@ -118,9 +119,9 @@ class FacialMMTPipeline(nn.Module):
     def aux_logits(self, images, *, deterministic: bool = True):
         # under 'auto', grad-bearing training ('not deterministic': the aux
         # loss backprops through Swin) resolves to 'auto_grad' — the fused
-        # kernels with their flash-style Pallas backwards at stages 0-2,
-        # lane-slice XLA autodiff at stage 3; aux EVAL is grad-free and keeps
-        # the plain 'auto' eval kernels
+        # attention kernels with Pallas backwards at every stage (resident
+        # accumulators 0-2, spill at 3), the fused MLP kernel at stages 0-2;
+        # aux EVAL is grad-free and keeps the plain 'auto' eval kernels
         impl = ("auto_grad" if (not deterministic
                                 and self.config.swin.attention_impl == "auto")
                 else None)

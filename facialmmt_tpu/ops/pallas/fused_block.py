@@ -258,19 +258,49 @@ def _fwd(x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep, pairs, eps,
 #
 # Stage fit: stages 0-2 fit the ~10 MB budget; stage 3 (C=768: 7.1 MB fp32
 # dwqkv + 4.7 MB bf16 weights) does not, and _pick_pairs_bwd returns 0 ->
-# XLA-autodiff fallback of the exact lane-slice formulation (the measured
-# fastest XLA backward, window_attention.py::_lane_slice_reference).
+# the SPILL variant (_bwd_impl_spill): the kernel keeps the LN/softmax chain
+# VMEM-resident but emits xn/dqkv/attn as blocked outputs, and the weight
+# grads become K=T matmuls outside — the MXU-efficient shape at C=768, where
+# the resident scheme's per-pair K=2N (C, C)-output matmuls would be the
+# dominant cost even if they fit.  MEASURED (v5e, 256 faces, fwd+bwd chain,
+# experiments/fused_block_bench.py --bwd 3): stage3 23.1 -> 3.68 ms per
+# block (6.3x) vs XLA autodiff of _reference; in the full joint step, where
+# stage 3 previously ran WindowAttention's lane-slice autodiff (a faster
+# baseline than _reference's vjp), the measured gain is 464 -> 453 ms per
+# 256-face microbatch (~11 ms, Swin bwd 232 -> 222; joint_profile.py).
+# Max rel grad deviation 0.5%.  Shapes where neither variant fits fall back
+# to XLA autodiff of the exact lane-slice formulation
+# (window_attention.py::_lane_slice_reference).
+#
+# Spill at stages 1-2, where BOTH variants fit (--spill 1 2): 0.92-0.95x —
+# the emitted xn/dqkv/attn HBM traffic outweighs the weight-grad matmul
+# savings at C <= 384, so the dispatch keeps resident-first and uses spill
+# only where resident does not fit.  Measured-negative: don't flip the order.
 
 def _make_bwd_kernel(num_heads: int, groups: int, pairs: int, n: int, c: int,
-                     eps: float, has_keep: bool):
+                     eps: float, has_keep: bool, spill: bool = False):
+    """Backward kernel body.  spill=False: fp32 weight-grad accumulators ride
+    VMEM across grid cells (stages 0-2).  spill=True: the kernel emits the
+    intermediates (xn, dqkv, attn) as blocked outputs instead, and the
+    wrapper forms the weight grads with three big-K XLA matmuls — same bf16
+    operands + fp32 accumulation as the resident path, just a different loop
+    order, so gradients are numerically equivalent.  This is what makes
+    stage 3 (C=768, whose 9.4 MB fp32 dw accumulators blow VMEM) fusable —
+    and at that width the resident scheme would be wrong anyway: per-pair
+    K=2N weight-grad matmuls with (C, C) outputs cost far more MXU instances
+    than one K=T matmul outside."""
     hd = c // num_heads
     scale = hd ** -0.5
 
     def kernel(x_ref, dy_ref, g_ref, b_ref, w_ref, wb_ref, wp_ref, bias_ref,
                *rest):
         keep_ref = rest[0] if has_keep else None
-        (dx_ref, dg_ref, db_ref, dw_ref, dwb_ref, dwp_ref, dbp_ref,
-         dbias_ref) = rest[-8:]
+        if spill:
+            (dx_ref, dg_ref, db_ref, dbias_ref, xn_ref, dqkv_ref,
+             attn_ref) = rest[-7:]
+        else:
+            (dx_ref, dg_ref, db_ref, dw_ref, dwb_ref, dwp_ref, dbp_ref,
+             dbias_ref) = rest[-8:]
         cell = pl.program_id(0)
         gamma = g_ref[:].astype(jnp.float32)
         beta = b_ref[:].astype(jnp.float32)
@@ -280,10 +310,11 @@ def _make_bwd_kernel(num_heads: int, groups: int, pairs: int, n: int, c: int,
         # end — Mosaic has no scatter-add lowering for value-level .at[].add
         dg_acc = jnp.zeros((1, c), jnp.float32)
         db_acc = jnp.zeros((1, c), jnp.float32)
-        dw_accs = [jnp.zeros((c, c), jnp.float32) for _ in range(3)]
-        dwb_accs = [jnp.zeros((1, c), jnp.float32) for _ in range(3)]
-        dwp_acc = jnp.zeros((c, c), jnp.float32)
-        dbp_acc = jnp.zeros((1, c), jnp.float32)
+        if not spill:
+            dw_accs = [jnp.zeros((c, c), jnp.float32) for _ in range(3)]
+            dwb_accs = [jnp.zeros((1, c), jnp.float32) for _ in range(3)]
+            dwp_acc = jnp.zeros((c, c), jnp.float32)
+            dbp_acc = jnp.zeros((1, c), jnp.float32)
         dbias_accs = [jnp.zeros((2 * n, 2 * n), jnp.float32)
                       for _ in range(num_heads)]
         for p in range(pairs):
@@ -319,8 +350,9 @@ def _make_bwd_kernel(num_heads: int, groups: int, pairs: int, n: int, c: int,
             dattn = jax.lax.dot_general(
                 dyk, wp_ref[:], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(x2.dtype)
-            dbp_acc = dbp_acc + jnp.sum(dyf * (kvec if has_keep else 1.0),
-                                        axis=0, keepdims=True)
+            if not spill:
+                dbp_acc = dbp_acc + jnp.sum(
+                    dyf * (kvec if has_keep else 1.0), axis=0, keepdims=True)
             dq_heads, dk_heads, dv_heads, attn_heads = [], [], [], []
             for h in range(num_heads):
                 qh = qs[:, h * hd:(h + 1) * hd]
@@ -354,24 +386,38 @@ def _make_bwd_kernel(num_heads: int, groups: int, pairs: int, n: int, c: int,
                     ds_b, qh, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
             attn = jnp.concatenate(attn_heads, axis=-1).astype(x2.dtype)
-            # dwproj += attn^T @ dyk
-            dwp_acc = dwp_acc + jax.lax.dot_general(
-                attn, dyk, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if spill:
+                attn_ref[2 * p] = attn[:n]
+                attn_ref[2 * p + 1] = attn[n:]
+                xn_ref[2 * p] = xn[:n]
+                xn_ref[2 * p + 1] = xn[n:]
+            else:
+                # dwproj += attn^T @ dyk
+                dwp_acc = dwp_acc + jax.lax.dot_general(
+                    attn, dyk, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             dq = jnp.concatenate(dq_heads, axis=-1)           # fp32 (2N, C)
             dk = jnp.concatenate(dk_heads, axis=-1)
             dv = jnp.concatenate(dv_heads, axis=-1)
             # ---- qkv backward ----
             dxn = jnp.zeros((2 * n, c), jnp.float32)
+            d_bs = []
             for i, d in enumerate((dq, dk, dv)):
                 d_b = d.astype(x2.dtype)
+                d_bs.append(d_b)
                 dxn = dxn + jax.lax.dot_general(
                     d_b, w_ref[i], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                dw_accs[i] = dw_accs[i] + jax.lax.dot_general(
-                    xn, d_b, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dwb_accs[i] = dwb_accs[i] + jnp.sum(d, axis=0, keepdims=True)
+                if not spill:
+                    dw_accs[i] = dw_accs[i] + jax.lax.dot_general(
+                        xn, d_b, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dwb_accs[i] = dwb_accs[i] + jnp.sum(d, axis=0,
+                                                        keepdims=True)
+            if spill:
+                dqkv = jnp.concatenate(d_bs, axis=-1)          # bf16 (2N, 3C)
+                dqkv_ref[2 * p] = dqkv[:n]
+                dqkv_ref[2 * p + 1] = dqkv[n:]
             # ---- LayerNorm backward ----
             dg_acc = dg_acc + jnp.sum(dxn * xh, axis=0, keepdims=True)
             db_acc = db_acc + jnp.sum(dxn, axis=0, keepdims=True)
@@ -383,29 +429,32 @@ def _make_bwd_kernel(num_heads: int, groups: int, pairs: int, n: int, c: int,
             dx_ref[2 * p] = dx[:n]
             dx_ref[2 * p + 1] = dx[n:]
 
-        dw_acc = jnp.stack(dw_accs)
-        dwb_acc = jnp.stack(dwb_accs)
         dbias_acc = jnp.stack(dbias_accs)
+        if not spill:
+            dw_acc = jnp.stack(dw_accs)
+            dwb_acc = jnp.stack(dwb_accs)
 
         @pl.when(cell == 0)
         def _():
             dg_ref[:] = dg_acc
             db_ref[:] = db_acc
-            dw_ref[:] = dw_acc
-            dwb_ref[:] = dwb_acc
-            dwp_ref[:] = dwp_acc
-            dbp_ref[:] = dbp_acc
             dbias_ref[:] = dbias_acc
+            if not spill:
+                dw_ref[:] = dw_acc
+                dwb_ref[:] = dwb_acc
+                dwp_ref[:] = dwp_acc
+                dbp_ref[:] = dbp_acc
 
         @pl.when(cell != 0)
         def _():
             dg_ref[:] = dg_ref[:] + dg_acc
             db_ref[:] = db_ref[:] + db_acc
-            dw_ref[:] = dw_ref[:] + dw_acc
-            dwb_ref[:] = dwb_ref[:] + dwb_acc
-            dwp_ref[:] = dwp_ref[:] + dwp_acc
-            dbp_ref[:] = dbp_ref[:] + dbp_acc
             dbias_ref[:] = dbias_ref[:] + dbias_acc
+            if not spill:
+                dw_ref[:] = dw_ref[:] + dw_acc
+                dwb_ref[:] = dwb_ref[:] + dwb_acc
+                dwp_ref[:] = dwp_ref[:] + dwp_acc
+                dbp_ref[:] = dbp_ref[:] + dbp_acc
 
     return kernel
 
@@ -425,6 +474,33 @@ def _pick_pairs_bwd(w: int, h: int, n: int, c: int, groups: int,
         + 8 * c_p * 4
     budget = 10 * 1024 * 1024 - bias_bytes - weight_bytes - accum_bytes
     per_pair = 3 * 2 * 2 * n_p * c_p * 2          # x + dy + dx, double-buffered
+    if budget < per_pair:
+        return 0
+    pairs = max(min(want, budget // per_pair), 1)
+    while (w // 2) % pairs != 0:
+        pairs -= 1
+    return pairs
+
+
+def _pick_pairs_bwd_spill(w: int, h: int, n: int, c: int, groups: int,
+                          want: int) -> int:
+    """Pair count for the SPILL backward: no fp32 weight-grad accumulators,
+    but three extra blocked outputs (xn, attn: C wide; dqkv: 3C wide) ride
+    next to x/dy/dx.  0 = does not fit (XLA fallback)."""
+    n_p = (n + 15) // 16 * 16
+    n2_p = (2 * n + 15) // 16 * 16
+    c_p = (c + 127) // 128 * 128
+    lane2n = (2 * n + 127) // 128 * 128
+    bias_bytes = groups * h * n2_p * lane2n * 2
+    weight_bytes = (3 * c * c_p + c * c_p) * 2 * 2
+    accum_bytes = h * n2_p * lane2n * 4 + 4 * c_p * 4
+    # full ~16 MB budget (vs the resident picker's conservative 10): the
+    # weight_bytes term already double-counts constant blocks that Mosaic
+    # fetches once, and unlike _pick_pairs there is NO floor-at-1 — a true
+    # non-fit still returns 0 and falls back to XLA
+    budget = 16 * 1024 * 1024 - bias_bytes - weight_bytes - accum_bytes
+    # x + dy + dx + xn + attn + dqkv(3C) = 8 C-wide blocks, double-buffered
+    per_pair = 8 * 2 * 2 * n_p * c_p * 2
     if budget < per_pair:
         return 0
     pairs = max(min(want, budget // per_pair), 1)
@@ -494,6 +570,83 @@ def _bwd_impl_pallas(x, gamma, beta, wqkv, bqkv, wproj, bias, keep, grad,
             dbp.reshape(c), dbias, dkeep)
 
 
+def _bwd_impl_spill(x, gamma, beta, wqkv, bqkv, wproj, bias, keep, grad,
+                    pairs, eps, interpret):
+    """Spill backward: the kernel handles the LN/softmax chain (dx, dgamma,
+    dbeta, dbias) and emits xn/dqkv/attn; weight grads are formed here with
+    K=T matmuls — the MXU-efficient shape at large C (see _make_bwd_kernel)."""
+    w, n, c = x.shape
+    nw = bias.shape[0]
+    h = bias.shape[1]
+    big = jnp.asarray(_block_diag_bias(bias, 2), jnp.bfloat16)
+    groups = big.shape[0]
+    blk = pl.BlockSpec((2 * pairs, n, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((2 * pairs, n, 3 * c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda *shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    in_specs = [blk, blk,
+                const(1, c), const(1, c),
+                const(3, c, c), const(3, 1, c),
+                const(c, c),
+                const(groups, h, 2 * n, 2 * n)]
+    operands = [x, grad.astype(x.dtype),
+                gamma.reshape(1, c), beta.reshape(1, c),
+                wqkv.T.reshape(3, c, c).transpose(0, 2, 1).astype(jnp.bfloat16),
+                bqkv.reshape(3, 1, c),
+                wproj.astype(jnp.bfloat16), big]
+    has_keep = keep is not None
+    if has_keep:
+        in_specs.append(pl.BlockSpec((w, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(keep.reshape(w, 1).astype(jnp.float32))
+    out_shape = [jax.ShapeDtypeStruct((w, n, c), x.dtype),
+                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                 jax.ShapeDtypeStruct((1, c), jnp.float32),
+                 jax.ShapeDtypeStruct((h, 2 * n, 2 * n), jnp.float32),
+                 jax.ShapeDtypeStruct((w, n, c), x.dtype),
+                 jax.ShapeDtypeStruct((w, n, 3 * c), x.dtype),
+                 jax.ShapeDtypeStruct((w, n, c), x.dtype)]
+    out_specs = [blk, const(1, c), const(1, c), const(h, 2 * n, 2 * n),
+                 blk, blk3, blk]
+    dx, dg, db, dbias2, xn, dqkv, attn = pl.pallas_call(
+        _make_bwd_kernel(h, groups, pairs, n, c, eps, has_keep, spill=True),
+        grid=(w // (2 * pairs),),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    # ---- weight grads outside, at K = T = w*n (same bf16 operands + fp32
+    # accumulation as the resident path's per-pair accumulators) ----
+    t = w * n
+    xn2 = xn.reshape(t, c)
+    dqkv2 = dqkv.reshape(t, 3 * c)
+    dyf = grad.astype(jnp.float32)
+    if has_keep:
+        dyf = dyf * keep.reshape(w, 1, 1).astype(jnp.float32)
+    dyk2 = dyf.astype(x.dtype).reshape(t, c)
+    # w_ref[i] == wqkv[:, i*C:(i+1)*C] and dqkv is [dq|dk|dv] on the last
+    # axis, so one K=T matmul yields dwqkv in the primal (C, 3C) layout
+    dwqkv = jax.lax.dot_general(xn2, dqkv2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv2.astype(jnp.float32), axis=0)
+    dwp = jax.lax.dot_general(attn.reshape(t, c), dyk2,
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dbp = jnp.sum(dyf.reshape(t, c), axis=0)
+    # group-0 bias cotangent, same convention as _bwd_impl_pallas
+    dbias_sum = dbias2[:, :n, :n] + dbias2[:, n:, n:]         # (h, N, N)
+    dbias = jnp.zeros((nw, h, n, n), bias.dtype)
+    dbias = dbias.at[0].set(dbias_sum.astype(bias.dtype))
+    dkeep = None if keep is None else jnp.zeros_like(keep)
+    return (dx, dg.reshape(c).astype(gamma.dtype),
+            db.reshape(c).astype(beta.dtype), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(bqkv.dtype), dwp.astype(wproj.dtype),
+            dbp, dbias, dkeep)
+
+
 def _bwd(pairs, eps, interpret, res, grad):
     x, gamma, beta, wqkv, bqkv, wproj, bproj, bias, keep = res
     w, n, c = x.shape
@@ -504,10 +657,19 @@ def _bwd(pairs, eps, interpret, res, grad):
     # at 16 pairs on stage 0); extra grid cells are nearly free
     p_bwd = _pick_pairs_bwd(w, h, n, c, groups, min(pairs, 8))
     backend_ok = jax.default_backend() == "tpu" or interpret
-    if backend_ok and p_bwd > 0 and w % 2 == 0 \
-            and (bias.shape[0] == 1 or bias.shape[0] % 2 == 0):
+    shapes_ok = w % 2 == 0 and (bias.shape[0] == 1 or bias.shape[0] % 2 == 0)
+    if backend_ok and p_bwd > 0 and shapes_ok:
         out = _bwd_impl_pallas(x, gamma, beta, wqkv, bqkv, wproj, bias, keep,
                                grad, p_bwd, eps, interpret)
+        dx, dg, db, dwqkv, dbqkv, dwp, dbp, dbias, dkeep = out
+        return (dx, dg, db, dwqkv, dbqkv, dwp, dbp.astype(bproj.dtype),
+                dbias, dkeep)
+    # stage-3 widths: the resident accumulators don't fit, but the spill
+    # variant (weight grads as K=T matmuls outside the kernel) does
+    p_spill = _pick_pairs_bwd_spill(w, h, n, c, groups, min(pairs, 8))
+    if backend_ok and p_spill > 0 and shapes_ok:
+        out = _bwd_impl_spill(x, gamma, beta, wqkv, bqkv, wproj, bias, keep,
+                              grad, p_spill, eps, interpret)
         dx, dg, db, dwqkv, dbqkv, dwp, dbp, dbias, dkeep = out
         return (dx, dg, db, dwqkv, dbqkv, dwp, dbp.astype(bproj.dtype),
                 dbias, dkeep)

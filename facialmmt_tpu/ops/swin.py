@@ -333,10 +333,12 @@ class SwinBlock(nn.Module):
         # stochasticity is drop-path (attn/proj dropout 0.0, the reference
         # config) — the kernel applies the per-window stochastic-depth scale
         # via its `keep` operand.  GRAD-BEARING paths (aux / joint training)
-        # pass 'auto_grad': same kernel, but gated on the flash-style Pallas
-        # BACKWARD fitting VMEM (ops/pallas/fused_block.py::_pick_pairs_bwd —
-        # stages 0-2; stage 3's fp32 weight-grad accumulators do not fit, and
-        # there the XLA-recompute vjp loses to plain lane-slice autodiff).
+        # pass 'auto_grad': same kernel, but gated on a flash-style Pallas
+        # BACKWARD fitting VMEM — the resident variant at stages 0-2
+        # (ops/pallas/fused_block.py::_pick_pairs_bwd) and the SPILL variant
+        # at stage 3 (_pick_pairs_bwd_spill: weight grads leave the kernel as
+        # emitted xn/dqkv/attn and become K=T matmuls; measured 6.3x over
+        # the XLA lane-slice vjp at stage-3 widths).
         # LN commutes with the token permutation, so the shifted path
         # permutes RAW x and the residual is added inside the kernel
         # pre-inverse-permute.
@@ -344,11 +346,15 @@ class SwinBlock(nn.Module):
                     and self.attn_drop == 0.0 and self.drop == 0.0)
         grad_mode = self.fused_attention == "auto_grad"
         if grad_mode:
-            from facialmmt_tpu.ops.pallas.fused_block import _pick_pairs_bwd
+            from facialmmt_tpu.ops.pallas.fused_block import (
+                _pick_pairs_bwd, _pick_pairs_bwd_spill)
 
-            bwd_fits = _pick_pairs_bwd(
+            bwd_fits = (_pick_pairs_bwd(
                 max(w_total, 2), self.num_heads, n, c,
                 max(nw_m // 2, 1), 16) > 0
+                or _pick_pairs_bwd_spill(
+                    max(w_total, 2), self.num_heads, n, c,
+                    max(nw_m // 2, 1), 8) > 0)
         use_fused_block = (
             (deterministic or train_ok) and not self.is_initializing()
             and (self.fused_attention in ("pair", "auto")

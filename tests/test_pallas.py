@@ -436,6 +436,38 @@ def test_fused_attention_block_pallas_bwd_grads_match(rng):
             assert np.abs(a - b).max() / denom < 2e-2, nm
 
 
+def test_fused_attention_block_spill_bwd_grads_match(rng):
+    """The SPILL backward variant (stage-3 widths: weight grads formed
+    outside the kernel from emitted xn/dqkv/attn) matches XLA autodiff for
+    every cotangent, with and without the drop-path keep operand."""
+    from facialmmt_tpu.ops.pallas import fused_block
+
+    x, *args = _attn_block_args(rng)
+    args = tuple(args)
+    dy = jnp.asarray(rng.normal(size=x.shape), jnp.bfloat16)
+    for keep in (None,
+                 jnp.asarray(rng.choice([0.0, 1.43], size=(x.shape[0],)),
+                             jnp.float32)):
+        ref = lambda *a: fused_block._reference(*a, keep, 1e-5)
+        _, vjp_a = jax.vjp(ref, x, *args)
+        ga = vjp_a(dy)
+        gamma, beta, wqkv, bqkv, wproj, bproj, bias = args
+        gb = fused_block._bwd_impl_spill(
+            x, gamma, beta, wqkv, bqkv, wproj, bias, keep, dy,
+            pairs=2, eps=1e-5, interpret=True)
+        # spill returns (dx, dg, db, dwqkv, dbqkv, dwp, dbp, dbias, dkeep);
+        # the reference vjp has no keep slot and bproj sits before bias
+        gb = gb[:6] + (gb[6], gb[7])
+        for nm, a, b in zip("x gamma beta wqkv bqkv wproj bproj bias".split(),
+                            ga, gb):
+            if nm == "bias":
+                a, b = a.sum(0), b.sum(0)   # group-0 convention: sum-exact
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            denom = np.abs(a).max() or 1.0
+            assert np.abs(a - b).max() / denom < 2e-2, nm
+
+
 def test_fused_attention_block_bias_grad_reaches_table(rng):
     """Table-level gradient through the real consumer shape
     (full_bias = bias_hnn[None] + constant_mask[:, None], the SwinBlock
@@ -495,11 +527,13 @@ def test_fused_ln_mlp_residual_pallas_bwd_grads_match(rng):
 
 
 def test_pallas_bwd_fit_gates():
-    """Stage-fit gates: the backward kernels engage at swin-tiny stages 0-2
-    and fall back to XLA at stage 3, where the fp32 weight-grad accumulators
-    exceed the VMEM budget."""
+    """Stage-fit gates: the resident backward kernels engage at swin-tiny
+    stages 0-2; at stage 3 (fp32 weight-grad accumulators exceed VMEM) the
+    attention half engages the SPILL variant and the MLP half falls back to
+    XLA (whose T x {768, 3072} backward matmuls are already MXU-efficient)."""
     from facialmmt_tpu.ops.pallas.block_mlp import _bwd_tile_for
-    from facialmmt_tpu.ops.pallas.fused_block import _pick_pairs_bwd
+    from facialmmt_tpu.ops.pallas.fused_block import (_pick_pairs_bwd,
+                                                      _pick_pairs_bwd_spill)
 
     stages = [(16384, 3, 96, 32), (4096, 6, 192, 8), (1024, 12, 384, 2),
               (256, 24, 768, 1)]
@@ -511,6 +545,7 @@ def test_pallas_bwd_fit_gates():
             assert tile >= 128, i
         else:
             assert pairs == 0
+            assert _pick_pairs_bwd_spill(w, h, 49, c, groups, 8) > 0
             assert tile == 0
 
 
