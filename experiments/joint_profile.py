@@ -200,6 +200,49 @@ def main(batch=32, stages=("grad", "swin", "text", "update")):
         print(f"text fwd+bwd ({batch_d['dia_input_ids'].shape[0]} dia): "
               f"{t_text:7.2f} ms", flush=True)
 
+    # ---- full fusion grad (text tower + crossmodal + heads + losses) with
+    # PRECOMPUTED face probs: isolates everything downstream of Swin.
+    # fusion-minus-text ~= the crossmodal/filter/loss residual ----
+    if "fusion" in stages:
+        batch_p = dict(batch_d)
+        probs0, _ = jax.jit(
+            lambda v, f: model.apply(v, f, method="fer_probs",
+                                     mutable=["batch_stats"],
+                                     rngs={"gumbel": key}))(
+                {"params": params, "batch_stats": batch_stats},
+                batch_d["faces"])
+        batch_p["face_probs"] = probs0
+
+        def fusion_loss(params, batch_stats, batch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            logits, _ = model.apply(
+                variables, batch, deterministic=False,
+                stop_swin_gradient=False,
+                rngs={"gumbel": key, "dropout": jax.random.fold_in(key, 1)},
+                mutable=["batch_stats"])
+            return cross_entropy(logits, batch["labels"])
+
+        fusion_grad_fn = jax.value_and_grad(fusion_loss)
+
+        @jax.jit
+        def fusion_chain(params, batch_stats, batch, carry):
+            def body(i, carry):
+                b = dict(batch)
+                b["face_probs"] = b["face_probs"] + carry * 1e-9
+                b["audio_inputs"] = b["audio_inputs"] + carry * 1e-9
+                p = jax.tree.map(lambda x: x, params)
+                emb = p["multimodal"]["text_encoder"]["word_embeddings"]
+                emb["embedding"] = emb["embedding"] + carry * 1e-9
+                loss, grads = fusion_grad_fn(p, batch_stats, b)
+                return (loss + _consume(grads)) * 1e-9
+            return jax.lax.fori_loop(0, ITERS, body, carry)
+
+        t_fusion = timed(lambda: float(fusion_chain(
+            params, batch_stats, batch_p, jnp.float32(0))))
+        print(f"fusion grad (precomp probs): {t_fusion:7.2f} ms "
+              f"(incl. text tower; minus text = crossmodal/filter/losses)",
+              flush=True)
+
     # ---- optimizer update with precomputed grads ----
     if "update" in stages:
         opt = cfg.optim
