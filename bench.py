@@ -42,6 +42,15 @@ import os
 import sys
 import time
 
+
+def _key(jax, i):
+    """Step RNG with the production trainer policy (config.resolve_prng_impl):
+    the TPU hardware generator on TPU — threefry dropout masks cost ~46 ms per
+    joint microbatch (experiments/fusion_profile.py), rbg ~none."""
+    import jax.random as jr
+    from facialmmt_tpu.config import FacialMMTConfig, resolve_prng_impl
+    return jr.key(i, impl=resolve_prng_impl(FacialMMTConfig()))
+
 sys.path.insert(0, "/root/repo")
 
 REFERENCE_UTT_PER_SEC = 10.0  # single-3090Ti bs=1 estimate, see BASELINE.md
@@ -103,7 +112,7 @@ def _eval_throughput(jax, jnp, model, cfg, batch_size, face_chunk):
         logits = model.apply(variables, b, rngs={"gumbel": key})
         return logits, jnp.sum(logits).astype(jnp.float32)
 
-    key = jax.random.PRNGKey(2)
+    key = _key(jax, 2)
     _progress("bench: eval compile...")
     logits, carry = eval_step(variables, batch, key, jnp.float32(0))
     float(carry)  # host readback = real sync (compile + warmup)
@@ -143,7 +152,7 @@ def _train_throughput(jax, jnp, model, cfg, variables, batch_size):
                    donate_argnums=(0,))
 
     _progress("bench: train compile...")
-    state, loss = step(state, batch, jax.random.PRNGKey(3))
+    state, loss = step(state, batch, _key(jax, 3))
     float(loss)  # compile + warmup sync
 
     box = {"state": state}
@@ -154,7 +163,7 @@ def _train_throughput(jax, jnp, model, cfg, variables, batch_size):
             # params chain step-to-step (donated state), serializing the
             # steps; the final loss readback syncs the chain
             s, loss = step(s, batch, jax.random.fold_in(
-                jax.random.PRNGKey(4), w * 100 + i))
+                _key(jax, 4), w * 100 + i))
         float(loss)
         box["state"] = s
 
@@ -198,7 +207,7 @@ def _joint_train_throughput(jax, jnp, model, cfg, variables, batch_size,
                    donate_argnums=(0,))
 
     _progress("bench: joint-train compile...")
-    state, loss = step(state, batches, jax.random.PRNGKey(9))
+    state, loss = step(state, batches, _key(jax, 9))
     float(loss)  # compile + warmup sync
 
     box = {"state": state}
@@ -207,7 +216,7 @@ def _joint_train_throughput(jax, jnp, model, cfg, variables, batch_size,
         s = box["state"]
         for i in range(4):
             s, loss = step(s, batches, jax.random.fold_in(
-                jax.random.PRNGKey(10), w * 100 + i))
+                _key(jax, 10), w * 100 + i))
         float(loss)
         box["state"] = s
 
@@ -236,7 +245,7 @@ def _aux_throughput(jax, jnp, model, cfg, variables, batch_size):
         k, (batch_size,), 0, cfg.num_labels))(jax.random.PRNGKey(6))
 
     _progress("bench: aux compile...")
-    state, loss = step(state, images, labels, jax.random.PRNGKey(7))
+    state, loss = step(state, images, labels, _key(jax, 7))
     float(loss)  # compile + warmup sync
 
     box = {"state": state}
@@ -245,7 +254,7 @@ def _aux_throughput(jax, jnp, model, cfg, variables, batch_size):
         st = box["state"]
         for i in range(6):
             st, loss = step(st, images, labels,
-                            jax.random.fold_in(jax.random.PRNGKey(8),
+                            jax.random.fold_in(_key(jax, 8),
                                                w * 100 + i))
         float(loss)
         box["state"] = st

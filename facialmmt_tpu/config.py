@@ -250,6 +250,17 @@ class RuntimeConfig:
                                         # faces in tiles of this size (lax.map)
                                         # so huge eval batches fit HBM; 0 = the
                                         # fully-fused single-program eval
+    prng_impl: str = "auto"             # trainer RNG for dropout/gumbel/
+                                        # drop-path: 'auto' = the TPU hardware
+                                        # generator ('rbg') on TPU, threefry
+                                        # elsewhere.  threefry dropout masks
+                                        # cost 46 ms/microbatch on the joint
+                                        # fusion grad (remat re-runs them in
+                                        # the backward; experiments/
+                                        # fusion_profile.py); distribution is
+                                        # identical, only the stream differs —
+                                        # the reference's torch streams are
+                                        # not reproducible here either
 
 
 @dataclass(frozen=True)
@@ -315,6 +326,18 @@ class FacialMMTConfig:
             hidden_size=64, encoder=enc, crossmodal_ta=cm, crossmodal_ta_v=cm,
             swin=swin, text=TextEncoderConfig.tiny(), data=data,
             audio_utt_transformer_num=2, vision_utt_transformer_num=1)
+
+
+def resolve_prng_impl(cfg: FacialMMTConfig) -> str:
+    """Trainer RNG implementation (RuntimeConfig.prng_impl): 'auto' picks the
+    TPU hardware generator on TPU and threefry elsewhere (CPU tests keep
+    reproducing their pinned threefry streams)."""
+    impl = cfg.runtime.prng_impl
+    if impl == "auto":
+        import jax
+
+        return "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    return impl
 
 
 def resolve_text_config(cfg: FacialMMTConfig) -> TextEncoderConfig:

@@ -150,6 +150,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "HBM; 0 = fully-fused eval (train/steps.py)")
     p.add_argument("--deterministic_gumbel", type=int, default=0)
     p.add_argument("--debug_nans", type=int, default=0)
+    p.add_argument("--prng_impl", type=str, default="auto",
+                   choices=["auto", "rbg", "threefry2x32"],
+                   help="dropout/gumbel RNG: 'auto' = TPU hardware generator "
+                        "on TPU (threefry masks cost ~46 ms/joint microbatch "
+                        "via remat), threefry elsewhere")
     p.add_argument("--resume", type=int, default=0,
                    help="resume from the latest epoch checkpoint")
     p.add_argument("--dp", type=int, default=-1)
@@ -201,7 +206,8 @@ def config_from_args(args) -> "FacialMMTConfig":
                             aux_log_interval=args.aux_log_interval,
                             trg_log_interval=args.trg_log_interval,
                             save_model_path=args.save_Model_path,
-                            metrics_path=args.metrics_path)
+                            metrics_path=args.metrics_path,
+                            prng_impl=args.prng_impl)
     kw = {}
     if args.text_preset == "tiny":
         from facialmmt_tpu.config import TextEncoderConfig

@@ -37,7 +37,12 @@ class EmotionServer:
         self.dtype = dtype
         self.model = FacialMMTPipeline(cfg, dtype=dtype)
         self.variables = variables
-        self._rng = jax.random.PRNGKey(cfg.runtime.seed)
+        from facialmmt_tpu.config import resolve_prng_impl
+
+        # rbg on TPU: the eval gumbel draw is sampled (reference quirk) and
+        # the hardware PRNG cuts its per-request threefry cost
+        self._rng = jax.random.key(cfg.runtime.seed,
+                                   impl=resolve_prng_impl(cfg))
 
         raw = cfg.data
         size = raw.swin_img_size

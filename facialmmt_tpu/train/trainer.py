@@ -84,7 +84,13 @@ class Trainer:
         self.writer = writer or MetricWriter(cfg.runtime.metrics_path)
         self.dtype = (jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16"
                       else jnp.float32)
-        self.rng = jax.random.PRNGKey(cfg.runtime.seed)
+        # 'auto' -> the TPU hardware PRNG: threefry dropout masks cost
+        # ~46 ms per joint microbatch (remat re-runs them in the backward;
+        # experiments/fusion_profile.py), rbg ~none
+        from facialmmt_tpu.config import resolve_prng_impl
+
+        self.rng = jax.random.key(cfg.runtime.seed,
+                                  impl=resolve_prng_impl(cfg))
         # device mesh: dp batches over 'data', tp text-tower kernels over
         # 'model' (parallel/mesh.py).  Single device => plan is a no-op.
         self.plan = self._build_plan(self._effective_batch())

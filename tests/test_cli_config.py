@@ -93,6 +93,35 @@ def test_adapt_static_shapes_from_dataset():
     assert cfg.data.vision_feat_dim == 44
 
 
+def test_prng_impl_flag_and_resolution():
+    """--prng_impl plumbs to RuntimeConfig; 'auto' resolves to threefry on
+    CPU (so pinned test streams keep reproducing) and honors explicit
+    overrides (docs/PARITY.md RNG row)."""
+    import jax
+
+    from facialmmt_tpu.config import resolve_prng_impl
+
+    cfg = parse([])
+    assert cfg.runtime.prng_impl == "auto"
+    resolved = resolve_prng_impl(cfg)
+    assert resolved == ("rbg" if jax.default_backend() == "tpu"
+                        else "threefry2x32")
+    cfg = parse(["--prng_impl", "rbg"])
+    assert resolve_prng_impl(cfg) == "rbg"
+    # a trainer's root key carries the resolved impl
+    import dataclasses
+
+    from facialmmt_tpu.config import FacialMMTConfig
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+
+    tiny = FacialMMTConfig.tiny()
+    tiny = dataclasses.replace(
+        tiny, runtime=dataclasses.replace(tiny.runtime, prng_impl="rbg"))
+    t = Trainer(tiny, writer=MetricWriter(""))
+    assert "rbg" in str(jax.random.key_impl(t.rng))
+
+
 def test_swin_yaml_and_attention_impl_flags(tmp_path):
     """--swin_config_path loads the reference's YAML format and composes
     with --swin_attention_impl (reference backbone_def.py:8-53)."""
