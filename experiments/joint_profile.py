@@ -78,6 +78,9 @@ def _consume(tree):
 
 
 def main(batch=32, stages=("grad", "swin", "text", "update")):
+    import dataclasses
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -88,6 +91,20 @@ def main(batch=32, stages=("grad", "swin", "text", "update")):
     from facialmmt_tpu.train.steps import cross_entropy
 
     cfg = FacialMMTConfig()
+    # remat ablation knobs (defaults now 'auto': off at these shapes) —
+    # block-level remat re-runs the Swin/text forward in the backward ON TOP
+    # of the flash kernels' internal recompute; measured at 256 faces:
+    # grad_joint 453 (both on) -> 383 (swin off) -> 360 ms (both off)
+    v = os.environ.get("SWIN_REMAT")
+    if v is not None:
+        cfg = dataclasses.replace(cfg, swin=dataclasses.replace(
+            cfg.swin, remat=bool(int(v))))
+    v = os.environ.get("TEXT_REMAT")
+    if v is not None:
+        cfg = dataclasses.replace(cfg, text=dataclasses.replace(
+            cfg.text, remat=bool(int(v))))
+    print(f"swin remat={cfg.swin.remat} text remat={cfg.text.remat}",
+          flush=True)
     model = FacialMMTPipeline(cfg, dtype=jnp.bfloat16)
     batch_d = _make_batch(cfg, b=batch, utts_per_dia=8, faces_per_utt=8)
     batch_d["labels"] = jnp.zeros((batch,), jnp.int32)

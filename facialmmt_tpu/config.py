@@ -64,7 +64,13 @@ class SwinConfig:
     drop_path_rate: float = 0.3
     patch_norm: bool = True
     ape: bool = False
-    remat: bool = True   # jax.checkpoint each block in the backward pass
+    # jax.checkpoint each block in the backward pass.  'auto' (default):
+    # remat only above 512 images per packed batch — below that the saved
+    # block I/O (~3.6 GB at 512 faces) fits HBM next to the model, and the
+    # block-level re-forward is pure waste on top of the flash kernels'
+    # internal recompute (measured: joint grad 453 -> 383 ms/microbatch at
+    # 256 faces, experiments/joint_profile.py SWIN_REMAT=0)
+    remat: "bool | str" = "auto"
     # 'xla' | 'pallas' | 'pair' | 'auto' — window-attention impl.  'auto'
     # (default) = paired-window Pallas kernel on TPU for the wide stages
     # (nh <= 6), lane-slice XLA otherwise: whole-backbone 132.6 -> 120.3 ms
@@ -137,8 +143,12 @@ class TextEncoderConfig:
     fused_attention: str = "auto"       # 'auto' | 'on' | 'off' — Pallas fused
                                         # attention kernel (ops/pallas/attention.py);
                                         # auto = on when running on TPU
-    remat: bool = True                  # jax.checkpoint each layer (backward
-                                        # recompute; needed to train large towers)
+    # jax.checkpoint each layer (backward recompute; needed to train large
+    # towers at large batches).  'auto': remat only above 4096 tokens
+    # (8 dialogues x 512) — the multimodal trainers' 4-dialogue microbatches
+    # skip the re-forward (grad 383 -> 360 ms, joint_profile.py TEXT_REMAT=0)
+    # while the 16-dialogue DialogueTrainer batches keep remat
+    remat: "bool | str" = "auto"
 
     @staticmethod
     def roberta_large() -> "TextEncoderConfig":
@@ -328,6 +338,17 @@ class FacialMMTConfig:
             audio_utt_transformer_num=2, vision_utt_transformer_num=1)
 
 
+def resolve_remat(remat, units: int, threshold: int) -> bool:
+    """'auto' remat policy, decided at TRACE time from static batch shapes:
+    rematerialize in the backward only when the activation scale (`units`:
+    packed images for Swin, tokens for the text tower) exceeds `threshold`.
+    Below it the saved activations fit HBM and the re-forward is pure cost
+    (it duplicates the flash kernels' internal recompute)."""
+    if remat == "auto":
+        return units > threshold
+    return bool(remat)
+
+
 def resolve_prng_impl(cfg: FacialMMTConfig) -> str:
     """Trainer RNG implementation (RuntimeConfig.prng_impl): 'auto' picks the
     TPU hardware generator on TPU and threefry elsewhere (CPU tests keep
@@ -356,4 +377,8 @@ def resolve_text_config(cfg: FacialMMTConfig) -> TextEncoderConfig:
     if cfg.text_fused_attention:
         tc = dataclasses.replace(tc,
                                  fused_attention=cfg.text_fused_attention)
+    if tc.remat != cfg.text.remat:
+        # remat is a memory/speed knob, not part of the PLM identity — honor
+        # the configured value even when the PLM preset supplies the rest
+        tc = dataclasses.replace(tc, remat=cfg.text.remat)
     return tc

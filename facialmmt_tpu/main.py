@@ -155,6 +155,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="dropout/gumbel RNG: 'auto' = TPU hardware generator "
                         "on TPU (threefry masks cost ~46 ms/joint microbatch "
                         "via remat), threefry elsewhere")
+    p.add_argument("--swin_remat", type=str, default="auto",
+                   choices=["auto", "0", "1"],
+                   help="backward rematerialization of Swin blocks: 'auto' = "
+                        "only above 512 packed images (below, the saved "
+                        "activations fit HBM and the re-forward is waste)")
+    p.add_argument("--text_remat", type=str, default="auto",
+                   choices=["auto", "0", "1"],
+                   help="backward rematerialization of text-encoder layers: "
+                        "'auto' = only above 4096 tokens (8 dialogues x 512)")
     p.add_argument("--resume", type=int, default=0,
                    help="resume from the latest epoch checkpoint")
     p.add_argument("--dp", type=int, default=-1)
@@ -218,9 +227,15 @@ def config_from_args(args) -> "FacialMMTConfig":
 
     swin = (SwinConfig.from_yaml(args.swin_config_path)
             if args.swin_config_path else SwinConfig())
+    remat_of = lambda s: s if s == "auto" else bool(int(s))
     kw["swin"] = dataclasses.replace(
         swin, attention_impl=args.swin_attention_impl,
-        mlp_impl=args.swin_mlp_impl)
+        mlp_impl=args.swin_mlp_impl, remat=remat_of(args.swin_remat))
+    if args.text_remat != "auto":
+        from facialmmt_tpu.config import TextEncoderConfig as _TC
+
+        kw["text"] = dataclasses.replace(
+            kw.get("text", _TC()), remat=remat_of(args.text_remat))
     return FacialMMTConfig(
         choice_modality=args.choice_modality, plm_name=args.plm_name,
         do_eval=bool(args.doEval), num_labels=args.num_labels,

@@ -122,9 +122,17 @@ class TextEncoder(nn.Module):
         bias = ((1.0 - attention_mask.astype(jnp.float32)) * BIG_NEG)[:, None, None, :]
         # rematerialize each layer in the backward pass: recompute activations
         # instead of storing 24 layers x 512 tokens of residuals (jax.checkpoint;
-        # required to train roberta-large-size towers in 16 GB HBM)
+        # required to train roberta-large-size towers at large batches in
+        # 16 GB HBM).  'auto': only above 4096 tokens — small multimodal
+        # microbatches (4 dialogues x 512) skip the re-forward
+        # (TextEncoderConfig.remat note)
+        from facialmmt_tpu.config import resolve_remat
+
         layer_cls = (nn.remat(TextEncoderLayer, static_argnums=(3,))
-                     if cfg.remat else TextEncoderLayer)
+                     if resolve_remat(cfg.remat,
+                                      input_ids.shape[0] * input_ids.shape[1],
+                                      4096)
+                     else TextEncoderLayer)
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
                 x, bias, deterministic)

@@ -539,8 +539,12 @@ class SwinTransformer(nn.Module):
         dim = cfg.embed_dim
         blk_i = 0
         num_layers = len(cfg.depths)
+        from facialmmt_tpu.config import resolve_remat
+
+        # 'auto': remat only above 512 packed images (SwinConfig.remat note)
         block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
-                     if cfg.remat else SwinBlock)
+                     if resolve_remat(cfg.remat, x.shape[0], 512)
+                     else SwinBlock)
         for stage in range(num_layers):
             stage_res = (res[0] // (2 ** stage), res[1] // (2 ** stage))
             sh, sw = stage_res

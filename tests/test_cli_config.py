@@ -122,6 +122,27 @@ def test_prng_impl_flag_and_resolution():
     assert "rbg" in str(jax.random.key_impl(t.rng))
 
 
+def test_remat_auto_policy_and_flags():
+    """'auto' remat engages only above the static activation thresholds
+    (512 packed images / 4096 text tokens); CLI flags force either way and
+    text remat survives the PLM-preset resolution."""
+    from facialmmt_tpu.config import resolve_remat, resolve_text_config
+
+    assert resolve_remat("auto", 256, 512) is False   # joint microbatch
+    assert resolve_remat("auto", 1024, 512) is True   # eval-batch-128 faces
+    assert resolve_remat("auto", 2048, 4096) is False  # 4 dialogues x 512
+    assert resolve_remat("auto", 8192, 4096) is True   # dia-trainer batches
+    assert resolve_remat(True, 1, 512) is True
+    assert resolve_remat(False, 10**6, 512) is False
+
+    cfg = parse([])
+    assert cfg.swin.remat == "auto"
+    assert resolve_text_config(cfg).remat == "auto"
+    cfg = parse(["--swin_remat", "1", "--text_remat", "0"])
+    assert cfg.swin.remat is True
+    assert resolve_text_config(cfg).remat is False
+
+
 def test_swin_yaml_and_attention_impl_flags(tmp_path):
     """--swin_config_path loads the reference's YAML format and composes
     with --swin_attention_impl (reference backbone_def.py:8-53)."""
