@@ -167,7 +167,7 @@ def _train_throughput(jax, jnp, model, cfg, variables, batch_size):
         float(loss)
         box["state"] = s
 
-    return _stats(_windows(run, batch_size * 6, 2))
+    return _stats(_windows(run, batch_size * 6, 3))
 
 
 def _joint_train_throughput(jax, jnp, model, cfg, variables, batch_size,
@@ -220,7 +220,7 @@ def _joint_train_throughput(jax, jnp, model, cfg, variables, batch_size,
         float(loss)
         box["state"] = s
 
-    return _stats(_windows(run, batch_size * 4, 2))
+    return _stats(_windows(run, batch_size * 4, 3))
 
 
 def _aux_throughput(jax, jnp, model, cfg, variables, batch_size):
@@ -259,7 +259,7 @@ def _aux_throughput(jax, jnp, model, cfg, variables, batch_size):
         float(loss)
         box["state"] = st
 
-    return _stats(_windows(run, batch_size * 6, 2))
+    return _stats(_windows(run, batch_size * 6, 3))
 
 
 def main():
