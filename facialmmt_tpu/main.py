@@ -385,9 +385,14 @@ def run(argv=None) -> float:
 
         text_trainer = TextTrainer(cfg, writer)
         if cfg.do_eval:
+            # reference writes the submission CSV + pred/true dump for the
+            # utt granularity too ((Appendix)CCAC2023/train.py:166-196)
             return text_trainer.eval_text_only(
                 build_text("test"),
-                ckpt_dir=args.load_best_model_path or None)
+                ckpt_dir=args.load_best_model_path or None,
+                submission_template=args.submission_template,
+                submission_out=args.submission_out,
+                pred_dump_path=args.pred_dump_path)
         return text_trainer.run_text(build_text("train"), build_text("val"),
                                      build_text("test"),
                                      resume=bool(args.resume))
@@ -424,7 +429,10 @@ def run(argv=None) -> float:
         feat_trainer = TextTrainer(cfg, writer)
         if cfg.do_eval:
             return feat_trainer.eval_text_only(
-                m3ed_test, ckpt_dir=args.load_best_model_path or None)
+                m3ed_test, ckpt_dir=args.load_best_model_path or None,
+                submission_template=args.submission_template,
+                submission_out=args.submission_out,
+                pred_dump_path=args.pred_dump_path)
         return feat_trainer.run_text(build_m3ed("train"), build_m3ed("val"),
                                      m3ed_test, resume=bool(args.resume))
 

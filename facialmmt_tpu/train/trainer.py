@@ -719,9 +719,21 @@ class TextTrainer(Trainer):
         return test_f1
 
     def eval_text_only(self, test_ds, ckpt_dir: Optional[str] = None,
+                       submission_template: str = "",
+                       submission_out: str = "",
+                       pred_dump_path: str = "",
                        use_macro_f1: bool = True) -> float:
+        """doEval path for the utterance-level models.  The reference fills
+        the competition submission CSV and writes the 'pred true' dump for
+        the UTT granularity too (reference (Appendix)CCAC2023/train.py:
+        166-196, utt branch at :167-171; dump at utils/eval_metrics.py:22-35),
+        so this mirrors DialogueTrainer.eval_dialogue_only's plumbing."""
+        import os
+
         from facialmmt_tpu.train.metrics import macro_f1, weighted_f1
         from facialmmt_tpu.train.steps import make_text_eval_step
+        from facialmmt_tpu.utils.submission import (write_pred_true_dump,
+                                                    write_submission_csv)
 
         cfg = self.cfg
         model = self._build_text_model()
@@ -733,8 +745,18 @@ class TextTrainer(Trainer):
         eval_step = jax.jit(make_text_eval_step(model))
         logits, labels, _ = self._evaluate_text(eval_step, params, test_ds,
                                                 bsz)
+        preds = logits.argmax(-1)
+        if submission_template and os.path.exists(submission_template):
+            out = submission_out or os.path.join(
+                cfg.runtime.save_model_path, "nustm_submission.csv")
+            write_submission_csv(logits, submission_template, out)
+            print(f"submission written: {out}")
+        if pred_dump_path:
+            correct = write_pred_true_dump(preds, labels, pred_dump_path)
+            print(f"pred/true dump: {pred_dump_path} "
+                  f"({correct}/{len(preds)} correct)")
         metric = macro_f1 if use_macro_f1 else weighted_f1
-        test_f1 = metric(labels, logits.argmax(-1))
+        test_f1 = metric(labels, preds)
         self.writer.log_test(test_f1)
         return test_f1
 

@@ -417,6 +417,54 @@ def test_cli_m3ed_utt_multimodal_train_eval(tmp_path, modality):
     assert 0.0 <= f1_eval <= 1.0
 
 
+def test_cli_m3ed_utt_doeval_writes_submission_and_dump(tmp_path):
+    """Utt-level doEval fills the competition submission CSV and writes the
+    pred/true dump, like the dia path (the reference's conduct_emo_eval does
+    both for BOTH granularities — (Appendix)CCAC2023/train.py:166-196, utt
+    branch at :167-171; dump at utils/eval_metrics.py:22-35)."""
+    from facialmmt_tpu.main import run
+    from facialmmt_tpu.utils.submission import M3ED_EMOTIONS
+    from tests.fixtures import write_m3ed_multimodal_fixture
+
+    fixes = {}
+    for split in ("train", "val", "test"):
+        fixes[split] = write_m3ed_multimodal_fixture(
+            str(tmp_path), split=split, seed=hash(split) % 50)
+    _write_m3ed_text_cache(str(tmp_path), ("train", "val", "test"))
+    n_test = fixes["test"]["n_utt"]
+    template = tmp_path / "empty.csv"
+    with open(template, "w") as f:
+        f.write("id,emotion\n")
+        for i in range(n_test):
+            f.write(f"utt{i},\n")
+
+    common = ["--data_load_path", str(tmp_path),
+              "--m3ed_project_path", str(tmp_path),
+              "--choice_modality", "T+A+V", "--uttORdia", "utt",
+              "--text_preset", "tiny", "--max_seq_length", "64",
+              "--hidden_size", "64", "--num_attention_heads", "4",
+              "--intermediate_size", "128",
+              "--crossmodal_num_heads_TA", "4",
+              "--crossmodal_num_heads_TA_V", "4",
+              "--compute_dtype", "float32",
+              "--save_Model_path", str(tmp_path / "saved"),
+              "--metrics_path", str(tmp_path / "m.jsonl"),
+              "--trg_batch_size", "3"]
+    run(common + ["--doEval", "0", "--num_epochs", "1", "--trg_lr", "1e-3"])
+    sub = tmp_path / "sub.csv"
+    dump = tmp_path / "dump.txt"
+    f1 = run(common + ["--doEval", "1",
+                       "--load_best_model_path", str(tmp_path / "saved"),
+                       "--submission_template", str(template),
+                       "--submission_out", str(sub),
+                       "--pred_dump_path", str(dump)])
+    assert 0.0 <= f1 <= 1.0
+    lines = open(sub).read().splitlines()
+    assert len(lines) == n_test + 1
+    assert all(line.split(",")[1] in M3ED_EMOTIONS for line in lines[1:])
+    assert len(open(dump).read().splitlines()) == n_test
+
+
 def test_cli_m3ed_dia_multimodal_train(tmp_path):
     """End-to-end M3ED dialogue-level CLI over the 4-D pickles."""
     from facialmmt_tpu.main import run
