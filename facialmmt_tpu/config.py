@@ -30,6 +30,15 @@ class EncoderConfig:
     attention_probs_dropout_prob: float = 0.1
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
+    # 'auto' | 'on' | 'off' — Pallas fused attention (ops/pallas/attention.py)
+    # for the self-attention towers.  'auto' = on-TPU AND seq >= 256: at the
+    # fusion-tower shapes (S=157/32) the kernel measured 0.74-0.84x vs XLA
+    # (the towers are matmul-bound at ~67 TFLOP/s; see the gate comment in
+    # ops/encoder.py), so 'auto' resolves to XLA there.  Train mode with
+    # attention-prob dropout active always falls back to XLA (the dropout mask
+    # is not expressible inside the kernel), mirroring the text tower's gate
+    # (models/text_encoder.py:55-61).
+    fused_attention: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -44,6 +53,13 @@ class CrossModalConfig:
     res_dropout: float = 0.0
     embed_dropout: float = 0.0
     attn_mask: bool = False  # causal banded mask (off in the main model)
+    # 'auto' | 'on' | 'off' — Pallas fused (cross-)attention for the MulT
+    # stacks.  'auto' = on-TPU AND key length >= 256 (measured 0.76x vs XLA
+    # at the T38xA157 shapes — ops/crossmodal.py gate comment).  Engages only
+    # when no banded mask is present (the main model's configuration;
+    # reference defers masking to the final pooling, src/models.py:168-183)
+    # and attention-prob dropout is inactive.
+    fused_attention: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -144,6 +144,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["", "auto", "on", "off"],
                    help="Pallas fused attention for the text tower "
                         "(ops/pallas/attention.py); '' = config default")
+    p.add_argument("--fused_fusion_attention", type=str, default="",
+                   choices=["", "auto", "on", "off"],
+                   help="Pallas fused attention for the fusion stack (audio/"
+                        "vision self-attn towers + crossmodal MulT); "
+                        "'' = config default ('auto' = on-TPU)")
     p.add_argument("--eval_face_chunk", type=int, default=0,
                    help=">0: stream eval Swin over the packed faces in tiles "
                         "of this size (lax.map) so huge eval batches fit "
@@ -193,6 +198,13 @@ def config_from_args(args) -> "FacialMMTConfig":
                               num_heads=args.crossmodal_num_heads_TA_V,
                               layers=args.crossmodal_layers_TA_V,
                               attn_dropout=args.crossmodal_attn_dropout_TA_V)
+    if args.fused_fusion_attention:
+        enc = dataclasses.replace(enc,
+                                  fused_attention=args.fused_fusion_attention)
+        cm_ta = dataclasses.replace(
+            cm_ta, fused_attention=args.fused_fusion_attention)
+        cm_tav = dataclasses.replace(
+            cm_tav, fused_attention=args.fused_fusion_attention)
     data = DataConfig(load_anno_csv_path=args.load_anno_csv_path,
                       meld_text_path=args.meld_text_path,
                       data_load_path=args.data_load_path,

@@ -63,6 +63,7 @@ class DialogueMultiModalTransformer(nn.Module):
             layers=cm_cfg.layers, attn_dropout=cm_cfg.attn_dropout,
             gelu_dropout=cm_cfg.gelu_dropout, res_dropout=cm_cfg.res_dropout,
             embed_dropout=cm_cfg.embed_dropout, attn_mask=cm_cfg.attn_mask,
+            fused_attention=cm_cfg.fused_attention,
             max_positions=256, dtype=self.dtype, name=name)
 
     @nn.compact

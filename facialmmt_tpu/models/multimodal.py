@@ -54,6 +54,7 @@ class MultiModalTransformerForClassification(nn.Module):
             layers=cm_cfg.layers, attn_dropout=cm_cfg.attn_dropout,
             gelu_dropout=cm_cfg.gelu_dropout, res_dropout=cm_cfg.res_dropout,
             embed_dropout=cm_cfg.embed_dropout, attn_mask=cm_cfg.attn_mask,
+            fused_attention=cm_cfg.fused_attention,
             max_positions=max(self.config.data.text_utt_max_len
                               + self.config.data.audio_utt_max_len
                               + self.config.data.vision_utt_max_len, 16),

@@ -81,6 +81,7 @@ class PackedMultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     attn_dropout: float = 0.0
+    fused_attention: str = "auto"  # 'auto' | 'on' | 'off' (Pallas kernel)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -109,13 +110,34 @@ class PackedMultiheadAttention(nn.Module):
         k = k.reshape(b, tk, nh, hd)
         v = v.reshape(b, tk, nh, hd)
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        if attn_bias is not None:
-            scores = scores + attn_bias.astype(scores.dtype)[None, None]
-        probs = jax.nn.softmax(scores, axis=-1).astype(cdtype)
-        probs = nn.Dropout(self.attn_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, tq, e)
+        # 'auto' is SHAPE-gated (Tk >= 256): at the crossmodal shapes
+        # (T38 x A157, batch 128) the kernel measured 4.75 -> 6.25 ms (0.76x)
+        # vs XLA — same lane-padding story as the self-attn towers
+        # (ops/encoder.py gate comment, experiments/fusion_attn_tpu_check.py)
+        use_fused = (self.fused_attention == "on" or
+                     (self.fused_attention == "auto"
+                      and jax.default_backend() == "tpu" and tk >= 256))
+        # the kernel takes a (B, Tk) padding bias only — the banded (Tq, Tk)
+        # future mask (attn_mask mode, non-default) stays on the XLA path, as
+        # does train mode with attention-prob dropout active (same gate as the
+        # text tower, models/text_encoder.py:55-61)
+        if (use_fused and attn_bias is None and
+                (deterministic or self.attn_dropout == 0.0)):
+            from facialmmt_tpu.ops.pallas.attention import fused_attention
+
+            ctx = fused_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), jnp.zeros((b, tk), jnp.float32))
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tq, e)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            if attn_bias is not None:
+                scores = scores + attn_bias.astype(scores.dtype)[None, None]
+            probs = jax.nn.softmax(scores, axis=-1).astype(cdtype)
+            probs = nn.Dropout(self.attn_dropout)(probs,
+                                                  deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, tq, e)
         out = XavierLinear(e, dtype=self.dtype, name="out_proj")(ctx)
         return out
 
@@ -138,6 +160,7 @@ class CrossModalLayer(nn.Module):
     gelu_dropout: float = 0.0
     res_dropout: float = 0.0
     attn_mask: bool = False
+    fused_attention: str = "auto"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -145,7 +168,8 @@ class CrossModalLayer(nn.Module):
         ln0 = LayerNormTF(1e-5, name="ln0")  # torch nn.LayerNorm semantics
         ln1 = LayerNormTF(1e-5, name="ln1")
         attn = PackedMultiheadAttention(
-            self.embed_dim, self.num_heads, self.attn_dropout, dtype=self.dtype,
+            self.embed_dim, self.num_heads, self.attn_dropout,
+            fused_attention=self.fused_attention, dtype=self.dtype,
             name="self_attn")
         drop_res = nn.Dropout(self.res_dropout)
         drop_gelu = nn.Dropout(self.gelu_dropout)
@@ -189,6 +213,7 @@ class CrossModalTransformerEncoder(nn.Module):
     res_dropout: float = 0.0
     embed_dropout: float = 0.0
     attn_mask: bool = False
+    fused_attention: str = "auto"
     max_positions: int = 1024
     dtype: Optional[Dtype] = None
 
@@ -212,6 +237,7 @@ class CrossModalTransformerEncoder(nn.Module):
             layer = CrossModalLayer(
                 self.embed_dim, self.num_heads, self.attn_dropout,
                 self.gelu_dropout, self.res_dropout, self.attn_mask,
+                fused_attention=self.fused_attention,
                 dtype=self.dtype, name=f"layer_{i}")
             if cross:
                 x = layer(x, x_k, x_v, deterministic=deterministic)

@@ -56,6 +56,33 @@ class SelfAttention(nn.Module):
         k = k.reshape(b, s, nh, hd)
         v = v.reshape(b, s, nh, hd)
 
+        # 'auto' is SHAPE-gated: measured on v5e at the fusion-tower shapes
+        # (batch 128, h=768, nh=12), the per-(b,h) kernel LOSES to XLA's
+        # batched einsum — audio S=157 5L: 20.95 -> 25.07 ms (0.84x), vision
+        # S=32 2L: 3.03 -> 4.09 ms (0.74x) (experiments/
+        # fusion_attn_tpu_check.py).  The towers run at ~67 TFLOP/s, near the
+        # measured 80 TFLOP/s matmul ceiling, so the (B, H, S, S) probs
+        # round-trip the kernel saves is negligible while S<256 blocks waste
+        # MXU lanes (157 pads to 256, D=64 is half a lane tile).  The kernel
+        # only wins from ~text-tower scale (S=512: 0.94 vs 1.54 ms), hence
+        # the Sk >= 256 gate; 'on' forces it for experiments.
+        use_fused = (cfg.fused_attention == "on" or
+                     (cfg.fused_attention == "auto"
+                      and jax.default_backend() == "tpu" and s >= 256))
+        # attention-prob dropout isn't expressible inside the fused kernel;
+        # train mode with it active falls back to the XLA path (same gate as
+        # the text tower, models/text_encoder.py:55-61)
+        if use_fused and (deterministic or
+                          cfg.attention_probs_dropout_prob == 0.0):
+            from facialmmt_tpu.ops.pallas.attention import fused_attention
+
+            scale = 1.0 / jnp.sqrt(jnp.asarray(hd, hidden_states.dtype))
+            ctx = fused_attention(
+                (q * scale).transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                attention_bias[:, 0, 0, :])
+            return ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))

@@ -635,3 +635,95 @@ def test_shift_permute_matches_take(rng):
         g_ref = jax.grad(lambda x: jnp.sum(
             jnp.take(x, jnp.asarray(perm), axis=1) * ref_i))(x)
         assert bool(jnp.all(g == g_ref))
+
+
+def test_fused_cross_attention_matches_reference(rng):
+    """Sq != Sk (crossmodal MulT shapes): kernel == unfused einsum chain."""
+    b, h, sq, sk, d = 2, 3, 10, 24, 16
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    bias = jnp.asarray(
+        np.where(rng.random((b, sk)) > 0.2, 0, -1e9).astype(np.float32))
+    got = fused_attention(q, k, v, bias, True)
+    want = _reference_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_cross_attention_grads_match(rng):
+    b, h, sq, sk, d = 1, 2, 6, 12, 8
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    bias = jnp.zeros((b, sk))
+    for arg in range(3):
+        g1 = jax.grad(lambda *a: fused_attention(*a, bias, True).sum(),
+                      argnums=arg)(q, k, v)
+        g2 = jax.grad(lambda *a: _reference_attention(*a, bias).sum(),
+                      argnums=arg)(q, k, v)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                                   atol=1e-5)
+
+
+def _force_interpret_attention(monkeypatch):
+    from facialmmt_tpu.ops.pallas import attention as attn_mod
+
+    orig = attn_mod.fused_attention
+    monkeypatch.setattr(attn_mod, "fused_attention",
+                        lambda q, k, v, bias, interpret=False:
+                        orig(q, k, v, bias, True))
+
+
+def test_self_attention_tower_fused_matches_xla(monkeypatch, rng):
+    """ops/encoder.py SelfAttention 'on' (interpret) == 'off' XLA path."""
+    from facialmmt_tpu.config import EncoderConfig
+    from facialmmt_tpu.ops.encoder import UttTransEncoder, additive_mask
+
+    _force_interpret_attention(monkeypatch)
+    x = jnp.asarray(rng.normal(size=(3, 12, 32)).astype(np.float32))
+    mask = jnp.asarray((rng.random((3, 12)) > 0.3).astype(np.float32))
+    outs = {}
+    for mode in ("off", "on"):
+        cfg = EncoderConfig(hidden_size=32, num_attention_heads=4,
+                            intermediate_size=64, fused_attention=mode)
+        enc = UttTransEncoder(cfg, num_layers=2, max_len=12)
+        params = enc.init(jax.random.PRNGKey(0), x, mask)
+        outs[mode] = np.asarray(enc.apply(params, x, mask))
+    np.testing.assert_allclose(outs["on"], outs["off"], rtol=2e-5, atol=2e-5)
+
+
+def test_crossmodal_fused_matches_xla(monkeypatch, rng):
+    """PackedMultiheadAttention 'on' (interpret, Sq != Sk) == XLA path."""
+    from facialmmt_tpu.ops.crossmodal import CrossModalTransformerEncoder
+
+    _force_interpret_attention(monkeypatch)
+    xq = jnp.asarray(rng.normal(size=(2, 5, 32)).astype(np.float32))
+    xk = jnp.asarray(rng.normal(size=(2, 9, 32)).astype(np.float32))
+    outs = {}
+    for mode in ("off", "on"):
+        enc = CrossModalTransformerEncoder(embed_dim=32, num_heads=4, layers=2,
+                                           fused_attention=mode,
+                                           max_positions=16)
+        params = enc.init(jax.random.PRNGKey(0), xq, xk, xk)
+        outs[mode] = np.asarray(enc.apply(params, xq, xk, xk))
+    np.testing.assert_allclose(outs["on"], outs["off"], rtol=2e-5, atol=2e-5)
+
+
+def test_crossmodal_banded_mask_stays_on_xla_path(monkeypatch, rng):
+    """attn_mask=True (banded future mask) must NOT enter the kernel: force
+    the kernel to raise and check 'on' still runs the XLA path."""
+    from facialmmt_tpu.ops.pallas import attention as attn_mod
+    from facialmmt_tpu.ops.crossmodal import CrossModalTransformerEncoder
+
+    def boom(*a, **k):
+        raise AssertionError("kernel must not be used with a banded mask")
+
+    monkeypatch.setattr(attn_mod, "fused_attention", boom)
+    x = jnp.asarray(rng.normal(size=(2, 5, 32)).astype(np.float32))
+    enc = CrossModalTransformerEncoder(embed_dim=32, num_heads=4, layers=1,
+                                       attn_mask=True, fused_attention="on",
+                                       max_positions=16)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(params, x)
+    assert out.shape == x.shape
