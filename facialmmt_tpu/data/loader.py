@@ -58,9 +58,13 @@ class PrefetchLoader:
     def __len__(self):
         return (self.n + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch: int = 0) -> Iterator:
+    def epoch(self, epoch: int = 0, start_batch: int = 0) -> Iterator:
+        """start_batch > 0 skips the first `start_batch` batches of the epoch
+        WITHOUT assembling them (exact mid-epoch resume: the index plan is a
+        pure function of (seed, epoch), so the remaining batches are identical
+        to the ones an uninterrupted run would have seen)."""
         plan = epoch_batches(self.n, self.batch_size, shuffle=self.shuffle,
-                             seed=self.seed, epoch=epoch)
+                             seed=self.seed, epoch=epoch)[start_batch:]
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -283,3 +283,66 @@ def test_preemption_guard_reinstall_clears_stale_request():
         assert not preemption_requested()
     finally:
         g.uninstall()
+
+
+def test_exact_resume_matches_uninterrupted_run(tmp_path):
+    """EXACT resume (VERDICT r3 weak #5): a run preempted mid-epoch and
+    resumed must produce bitwise-identical params and optimizer state to an
+    uninterrupted run — the resume checkpoint carries {in-epoch batch index,
+    trainer PRNG key}, the loader skips already-applied batches, and the
+    random stream continues instead of forking."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+    from facialmmt_tpu.data.meld import MeldVisionDataset
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+    from facialmmt_tpu.utils.preemption import (Preempted,
+                                                install_preemption_guard)
+
+    for split in ("train", "val", "test"):
+        write_meld_fixture(str(tmp_path), split=split, seed=hash(split) % 50)
+    train_ds = MeldVisionDataset(str(tmp_path), "train")
+    valid_ds = MeldVisionDataset(str(tmp_path), "val")
+    test_ds = MeldVisionDataset(str(tmp_path), "test")
+
+    base = _cfg(tmp_path, 1)
+    base = base.replace(
+        data=dataclasses.replace(base.data,
+                                 vision_utt_max_len=train_ds.max_utt_len,
+                                 vision_feat_dim=train_ds.feat_dim),
+        optim=dataclasses.replace(base.optim, trg_batch_size=2))
+    assert len(train_ds) > 4  # several batches per epoch, or the test is vacuous
+
+    def rt(d):
+        return dataclasses.replace(base.runtime,
+                                   save_model_path=str(tmp_path / d))
+
+    # run A: uninterrupted single epoch
+    cfg_a = base.replace(runtime=rt("a"))
+    Trainer(cfg_a, MetricWriter("", also_print=False)).run_unimodal(
+        train_ds, valid_ds, test_ds)
+
+    # run B: preempted at the first batch boundary of epoch 1, then resumed
+    cfg_b = base.replace(runtime=rt("b"))
+    guard = install_preemption_guard()
+    guard.trigger()
+    try:
+        with pytest.raises(Preempted):
+            Trainer(cfg_b, MetricWriter("", also_print=False)).run_unimodal(
+                train_ds, valid_ds, test_ds)
+    finally:
+        guard.uninstall()
+    Trainer(cfg_b, MetricWriter("", also_print=False)).run_unimodal(
+        train_ds, valid_ds, test_ds, resume=True)
+
+    a = CheckpointManager(str(tmp_path / "a")).restore("step_1")
+    b = CheckpointManager(str(tmp_path / "b")).restore("step_1")
+    jax.tree.map(np.testing.assert_array_equal,
+                 a["state"]["params"], b["state"]["params"])
+    jax.tree.map(np.testing.assert_array_equal,
+                 a["state"]["opt_state"], b["state"]["opt_state"])
+    np.testing.assert_array_equal(a["rng"], b["rng"])
