@@ -150,3 +150,157 @@ class EmotionServer:
         return {"p50_ms": float(np.percentile(arr, 50)),
                 "p99_ms": float(np.percentile(arr, 99)),
                 "mean_ms": float(arr.mean())}
+
+
+class AsyncBatchServer:
+    """Concurrent front-end for EmotionServer: a request queue + packer thread.
+
+    The static (max_batch, face_capacity) buckets exist for concurrent load —
+    a single request pays for the whole padded executable (see the module
+    docstring), but under load the packer fills the slots: requests queue up,
+    and the packer drains up to max_batch of them (respecting the packed-face
+    capacity) into ONE fixed-shape inference, waiting at most
+    `batch_deadline_ms` from the first pending request before dispatching a
+    partial pack.  No reference equivalent — serving is this framework's own
+    capability (SURVEY.md §2 has no serving row).
+
+    submit() returns a concurrent.futures.Future resolving to the request's
+    probability vector; callers block on .result().  One packer thread owns
+    the TPU executable, so device calls are naturally serialized.
+    """
+
+    def __init__(self, server: EmotionServer, batch_deadline_ms: float = 5.0):
+        import collections
+        import queue as queue_mod
+        import threading
+
+        self.server = server
+        self.deadline = batch_deadline_ms / 1000.0
+        self._q: "queue_mod.Queue" = queue_mod.Queue()
+        self._holdover = collections.deque()  # didn't fit the last pack
+        self._stop = threading.Event()
+        self.pack_sizes: list = []  # batch-fill telemetry
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, request: Dict[str, Any]):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self._q.put((request, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    def _faces_of(self, request) -> int:
+        faces = request.get("faces")
+        if faces is None:
+            return 0
+        return min(len(faces), self.server.cfg.data.vision_utt_max_len)
+
+    def _next_item(self, timeout):
+        import queue as queue_mod
+
+        if self._holdover:
+            return self._holdover.popleft()
+        try:
+            return self._q.get(timeout=timeout)
+        except queue_mod.Empty:
+            return None
+
+    def _run(self):
+        while not self._stop.is_set():
+            first = self._next_item(timeout=0.05)
+            if first is None:
+                continue
+            pack, faces = [first], self._faces_of(first[0])
+            t0 = time.perf_counter()
+            while len(pack) < self.server.max_batch:
+                left = self.deadline - (time.perf_counter() - t0)
+                if left <= 0:
+                    break
+                item = self._next_item(timeout=left)
+                if item is None:
+                    break
+                need = self._faces_of(item[0])
+                if faces + need > self.server.face_capacity:
+                    self._holdover.append(item)  # leads the next pack
+                    break
+                pack.append(item)
+                faces += need
+            self.pack_sizes.append(len(pack))
+            try:
+                results = self.server.predict([r for r, _ in pack])
+            except Exception as e:  # surface to every waiting caller
+                for _, fut in pack:
+                    fut.set_exception(e)
+                continue
+            for (_, fut), probs in zip(pack, results):
+                fut.set_result(probs)
+
+
+def benchmark_load(server: EmotionServer, rate_utt_per_s: float,
+                   duration_s: float = 10.0, seed: int = 0,
+                   batch_deadline_ms: float = 5.0,
+                   make_request=None) -> Dict[str, float]:
+    """Drive an AsyncBatchServer with Poisson arrivals at `rate_utt_per_s`
+    for `duration_s`, and report achieved throughput + end-to-end request
+    latency (queue wait + packing deadline + device step) + batch fill."""
+    import threading
+
+    front = AsyncBatchServer(server, batch_deadline_ms=batch_deadline_ms)
+    rng = np.random.default_rng(seed)
+    if make_request is None:
+        d = server.cfg.data
+        def make_request(i):
+            return {
+                "input_ids": np.ones(16, np.int32),
+                "audio": np.zeros((d.audio_utt_max_len, d.audio_feat_dim),
+                                  np.float32),
+                "vision": np.zeros((d.vision_utt_max_len, d.vision_feat_dim),
+                                   np.float32),
+                "faces": np.zeros((8, 160, 160, 3), np.uint8),
+            }
+
+    lat_lock = threading.Lock()
+    latencies: list = []
+    futures: list = []
+
+    def on_done(t_submit):
+        def cb(fut):
+            if fut.exception() is None:
+                with lat_lock:
+                    latencies.append(time.perf_counter() - t_submit)
+        return cb
+
+    t_start = time.perf_counter()
+    i = 0
+    next_t = 0.0
+    while True:
+        now = time.perf_counter() - t_start
+        if now >= duration_s:
+            break
+        if now < next_t:
+            time.sleep(min(next_t - now, 0.01))
+            continue
+        t_submit = time.perf_counter()
+        fut = front.submit(make_request(i))
+        fut.add_done_callback(on_done(t_submit))
+        futures.append(fut)
+        i += 1
+        next_t += rng.exponential(1.0 / rate_utt_per_s)
+    for fut in futures:
+        fut.result(timeout=60.0)
+    wall = time.perf_counter() - t_start
+    front.close()
+    arr = np.asarray(latencies) * 1000
+    return {
+        "offered_rate": rate_utt_per_s,
+        "achieved_utt_per_s": len(latencies) / wall,
+        "p50_ms": float(np.percentile(arr, 50)),
+        "p99_ms": float(np.percentile(arr, 99)),
+        "mean_batch_fill": float(np.mean(front.pack_sizes)),
+        "n_requests": len(latencies),
+    }
