@@ -100,6 +100,21 @@ class SwinConfig:
     # with pair attention, backbone 120.3 -> 117.6 ms / 256 faces measured.
     mlp_impl: str = "auto"
                                  # eval kernel (ops/pallas/block_mlp.py)
+    # 'raster' | 'window' | 'auto' — patch-merging stage-transition layout.
+    # 'window': one static row gather maps window-resident stage-s rows
+    # DIRECTLY to the next stage's window-resident merge layout, replacing
+    # the window_reverse -> strided 2x2 slices/concat -> window_partition
+    # transpose chains (EXACTLY equivalent — row permutation only;
+    # test_swin_layout.py pins it).  Measured standalone on v5e at 256 faces:
+    # 8.17->7.06 / 5.25->5.14 / 3.88->3.62 ms per transition — but WHOLE-
+    # BACKBONE NEUTRAL (333.4 -> 332.7 ms / 1024 faces, tunnel-noise scale):
+    # in-model XLA already fuses the transition transposes into neighboring
+    # ops (experiments/merge_bench.py, merge_e2e.py).  Kept 'auto' = window
+    # on TPU for the cleaner graph (one gather), raster on CPU (the torch-
+    # parity-tested path); a Pallas LN+matmul tail variant measured
+    # 0.94-0.98x the XLA gather form and stays a measured-negative record
+    # (ops/pallas/merge_kernel.py).
+    merge_impl: str = "auto"
     out_feature_dim: int = 512  # LN -> flatten -> Linear(49*768, 512) -> BatchNorm1d
                                 # (reference Swin_Transformer.py:491-494)
 

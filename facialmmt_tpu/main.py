@@ -140,6 +140,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas", "auto"],
                    help="Swin LN+MLP+residual kernel, eval-only "
                         "('auto' = on when on TPU; ops/pallas/block_mlp.py)")
+    p.add_argument("--swin_merge_impl", type=str, default="auto",
+                   choices=["raster", "window", "auto"],
+                   help="patch-merging stage-transition layout; 'window' = "
+                        "one static gather in window-resident layout "
+                        "(exactly equivalent; SwinConfig.merge_impl)")
     p.add_argument("--fused_text_attention", type=str, default="",
                    choices=["", "auto", "on", "off"],
                    help="Pallas fused attention for the text tower "
@@ -242,7 +247,8 @@ def config_from_args(args) -> "FacialMMTConfig":
     remat_of = lambda s: s if s == "auto" else bool(int(s))
     kw["swin"] = dataclasses.replace(
         swin, attention_impl=args.swin_attention_impl,
-        mlp_impl=args.swin_mlp_impl, remat=remat_of(args.swin_remat))
+        mlp_impl=args.swin_mlp_impl, merge_impl=args.swin_merge_impl,
+        remat=remat_of(args.swin_remat))
     if args.text_remat != "auto":
         from facialmmt_tpu.config import TextEncoderConfig as _TC
 

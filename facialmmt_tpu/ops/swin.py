@@ -102,6 +102,28 @@ def _window_layout_index(h: int, w: int, ws: int) -> np.ndarray:
     return win * (ws * ws) + pos
 
 
+def merge_gather_index(sh: int, sw: int, ws_s: int, ws_n: int) -> np.ndarray:
+    """Static row map for window-resident patch merging: output row j of the
+    NEXT stage's window-resident (L/4, 4C) merge layout pulls rows
+    [g0, g1, g2, g3] of the CURRENT stage's window-resident layout, in the
+    reference's x0/x1/x2/x3 channel-concat order
+    (reference Swin_Transformer.py:291-328).  Lets the stage transition run
+    as ONE jnp.take instead of window_reverse + strided slices +
+    window_partition (three transpose/copy chains) — see SwinConfig.merge_impl
+    for the measured numbers."""
+    nh, nw = sh // 2, sw // 2
+    cur = _window_layout_index(sh, sw, ws_s).flatten()   # raster -> wr row
+    nxt = _window_layout_index(nh, nw, ws_n).flatten()   # merged raster -> wr
+    raster_of_next = np.empty(nh * nw, np.int64)
+    raster_of_next[nxt] = np.arange(nh * nw)             # wr row -> raster
+    out = np.empty((nh * nw, 4), np.int32)
+    rows, cols = np.divmod(raster_of_next, nw)
+    # concat order x0=(0,0), x1=(1,0), x2=(0,1), x3=(1,1)
+    for t, (dr, dc) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        out[:, t] = cur[(2 * rows + dr) * sw + (2 * cols + dc)]
+    return out
+
+
 def shifted_window_perms(h: int, w: int, ws: int,
                          shift: int) -> tuple[np.ndarray, np.ndarray]:
     """Static permutations realizing cyclic-shift + re-partition entirely in
@@ -452,22 +474,38 @@ class SwinBlock(nn.Module):
 
 
 class PatchMerging(nn.Module):
-    """2x2 patch concat + LN + Linear(4C->2C, no bias) (reference :291-328)."""
+    """2x2 patch concat + LN + Linear(4C->2C, no bias) (reference :291-328).
+
+    layout='raster': input is (B, H*W, C) raster rows (the reference layout).
+    layout='window': input is the stage's window-resident rows and the output
+    comes out in the NEXT stage's window-resident order via one static row
+    gather (merge_gather_index) — exactly the same per-row math, so the two
+    layouts are bitwise-equivalent up to row order (test_swin_layout.py)."""
 
     input_resolution: tuple[int, int]
     dim: int
+    layout: str = "raster"
+    window_size: int = 7       # current-stage effective ws (layout='window')
+    next_window_size: int = 7  # next-stage effective ws (layout='window')
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         h, w = self.input_resolution
         b, l, c = x.shape
-        x = x.reshape(b, h, w, c)
-        x0 = x[:, 0::2, 0::2]
-        x1 = x[:, 1::2, 0::2]
-        x2 = x[:, 0::2, 1::2]
-        x3 = x[:, 1::2, 1::2]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(b, l // 4, 4 * c)
+        if self.layout == "window":
+            idx = merge_gather_index(h, w, self.window_size,
+                                     self.next_window_size)
+            x = jnp.take(x, jnp.asarray(idx.reshape(-1)), axis=1)
+            x = x.reshape(b, l // 4, 4 * c)
+        else:
+            x = x.reshape(b, h, w, c)
+            x0 = x[:, 0::2, 0::2]
+            x1 = x[:, 1::2, 0::2]
+            x2 = x[:, 0::2, 1::2]
+            x3 = x[:, 1::2, 1::2]
+            x = jnp.concatenate([x0, x1, x2, x3],
+                                axis=-1).reshape(b, l // 4, 4 * c)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return SwinLinear(2 * self.dim, use_bias=False, dtype=self.dtype,
                           name="reduction")(x)
@@ -545,6 +583,12 @@ class SwinTransformer(nn.Module):
         block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
                      if resolve_remat(cfg.remat, x.shape[0], 512)
                      else SwinBlock)
+        # 'auto' merge layout: the one-gather window-resident transition on
+        # TPU (measured win, SwinConfig.merge_impl), raster elsewhere
+        merge_wr = (cfg.merge_impl == "window" or
+                    (cfg.merge_impl == "auto"
+                     and jax.default_backend() == "tpu"))
+        in_window_layout = False
         for stage in range(num_layers):
             stage_res = (res[0] // (2 ** stage), res[1] // (2 ** stage))
             sh, sw = stage_res
@@ -552,9 +596,11 @@ class SwinTransformer(nn.Module):
             b = x.shape[0]
             c_stage = int(dim * 2 ** stage)
             # enter window layout ONCE for the whole stage (blocks are
-            # window-resident; see SwinBlock docstring)
-            x = window_partition(x.reshape(b, sh, sw, c_stage),
-                                 ws_eff).reshape(b, sh * sw, c_stage)
+            # window-resident; see SwinBlock docstring) — unless the previous
+            # stage's window-resident merge already emitted it
+            if not in_window_layout:
+                x = window_partition(x.reshape(b, sh, sw, c_stage),
+                                     ws_eff).reshape(b, sh * sw, c_stage)
             for d in range(cfg.depths[stage]):
                 x = block_cls(
                     dim=c_stage, input_resolution=stage_res,
@@ -580,10 +626,19 @@ class SwinTransformer(nn.Module):
                     dtype=self.dtype,
                     name=f"stage_{stage}_block_{d}")(x, deterministic)
                 blk_i += 1
+            if stage < num_layers - 1 and merge_wr:
+                ws_next = min(cfg.window_size, sh // 2, sw // 2)
+                x = PatchMerging(stage_res, c_stage, layout="window",
+                                 window_size=ws_eff,
+                                 next_window_size=ws_next, dtype=self.dtype,
+                                 name=f"stage_{stage}_downsample")(x)
+                in_window_layout = True
+                continue
             x = window_reverse(
                 x.reshape(b * (sh * sw) // (ws_eff * ws_eff),
                           ws_eff * ws_eff, c_stage),
                 ws_eff, sh, sw).reshape(b, sh * sw, c_stage)
+            in_window_layout = False
             if stage < num_layers - 1:
                 x = PatchMerging(stage_res, c_stage, dtype=self.dtype,
                                  name=f"stage_{stage}_downsample")(x)

@@ -727,3 +727,26 @@ def test_crossmodal_banded_mask_stays_on_xla_path(monkeypatch, rng):
     params = enc.init(jax.random.PRNGKey(0), x)
     out = enc.apply(params, x)
     assert out.shape == x.shape
+
+
+def test_fused_merge_matches_reference(rng):
+    """Patch-merge LN+reduction kernel (interpret) == fp32-LN/bf16-matmul
+    reference, including the token-padding path (T not a tile multiple)."""
+    from facialmmt_tpu.ops.pallas import merge_kernel
+
+    for (b, l, c4, c2) in [(2, 49, 384, 192), (1, 196, 768, 384)]:
+        x = jnp.asarray(rng.normal(size=(b, l, c4)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(c4,)).astype(np.float32))
+        be = jnp.asarray(rng.normal(size=(c4,)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(c4, c2)).astype(np.float32)) * 0.05
+        got = merge_kernel.fused_merge(x, g, be, w, 1e-5, True)
+        want = merge_kernel._reference(x, g, be, w)
+        # both sides run bf16 matmuls; tile-vs-flat accumulation order gives
+        # bf16-scale drift at K=768 (max ~2e-3 observed)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=4e-3, atol=4e-3)
+        gr1 = jax.grad(lambda x: merge_kernel.fused_merge(
+            x, g, be, w, 1e-5, True).sum())(x)
+        gr2 = jax.grad(lambda x: merge_kernel._reference(x, g, be, w).sum())(x)
+        np.testing.assert_allclose(np.asarray(gr1), np.asarray(gr2),
+                                   rtol=2e-4, atol=2e-4)
