@@ -1,0 +1,56 @@
+"""Serving under concurrent load (VERDICT r3 weak #4 / next #5).
+
+Drives serving.benchmark_load (AsyncBatchServer + Poisson arrivals) against
+the bucket configs from BASELINE.md's latency table, at several offered
+rates, on the real chip with the full-size model (random weights — timing
+only).  The point: the padded (8,64)/(32,256) buckets must EARN their
+single-request latency premium by sustaining throughput when the packer
+fills the slots.
+
+Run: setsid nohup python experiments/serving_load.py > /tmp/serving_load.log 2>&1 &
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _make_batch
+    from facialmmt_tpu.config import FacialMMTConfig
+    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+    from facialmmt_tpu.serving import EmotionServer, benchmark_load
+
+    print("backend:", jax.default_backend(), flush=True)
+    cfg = FacialMMTConfig()
+    model = FacialMMTPipeline(cfg, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        _make_batch(cfg, b=2))
+    print("params ready", flush=True)
+
+    for max_batch, cap, rates in ((1, 12, (5, 10)),
+                                  (8, 64, (20, 40, 80)),
+                                  (32, 256, (40, 80, 160))):
+        t0 = time.perf_counter()
+        server = EmotionServer(cfg, variables, max_batch=max_batch,
+                               face_capacity=cap)
+        print(f"\nbucket ({max_batch}, {cap}): warm in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        for rate in rates:
+            stats = benchmark_load(server, rate_utt_per_s=float(rate),
+                                   duration_s=12.0, batch_deadline_ms=10.0)
+            print(f"  rate {rate:4d}/s -> {stats['achieved_utt_per_s']:7.1f} "
+                  f"utt/s | p50 {stats['p50_ms']:7.1f} ms | "
+                  f"p99 {stats['p99_ms']:7.1f} ms | fill "
+                  f"{stats['mean_batch_fill']:.2f} | n={stats['n_requests']}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
