@@ -346,3 +346,92 @@ def test_exact_resume_matches_uninterrupted_run(tmp_path):
     jax.tree.map(np.testing.assert_array_equal,
                  a["state"]["opt_state"], b["state"]["opt_state"])
     np.testing.assert_array_equal(a["rng"], b["rng"])
+
+
+def test_exact_resume_multimodal_mid_trg_phase(tmp_path, rng):
+    """Exact resume through the TWO-PHASE multimodal epoch: preempt after the
+    aux pass completed and one trg batch applied, resume, and require
+    bitwise-identical {params, batch_stats, opt state, rng} to an
+    uninterrupted run (the {aux_batch, trg_batch} progress counters +
+    restored PRNG stream)."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+    from facialmmt_tpu.config import FacialMMTConfig, OptimConfig, RuntimeConfig
+    from facialmmt_tpu.data.affwild2 import AffwildDataset
+    from facialmmt_tpu.data.meld import MeldMultimodalDataset, MeldTextArrays
+    from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils import preemption
+    from facialmmt_tpu.utils.observability import MetricWriter
+    from tests.fixtures import write_affwild_fixture
+
+    for split in ("train", "val", "test"):
+        write_meld_fixture(str(tmp_path), split=split, seed=hash(split) % 100)
+    aux_fix = write_affwild_fixture(str(tmp_path / "aux"))
+
+    tok = WhitespaceTokenizer()
+    prep = MeldTextPreprocessor(tok, is_roberta=True, max_seq_length=64)
+
+    def build(split):
+        feats = prep.preprocess_split(
+            os.path.join(tmp_path, f"{split}_sent_emo.csv"),
+            os.path.join(tmp_path, f"{split}_text.json"))
+        ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
+        return MeldMultimodalDataset(str(tmp_path), split,
+                                     MeldTextArrays(ids, mask, sep))
+
+    def make_cfg(save_dir):
+        cfg = FacialMMTConfig.tiny()
+        return cfg.replace(
+            data=dataclasses.replace(cfg.data, max_seq_length=64),
+            optim=OptimConfig(num_epochs=1, trg_batch_size=4,
+                              trg_accumulation_steps=1, aux_batch_size=4,
+                              warm_up=0.0),
+            runtime=RuntimeConfig(
+                save_model_path=str(tmp_path / save_dir),
+                compute_dtype="float32", metrics_path="",
+                aux_log_interval=1000, trg_log_interval=1000))
+
+    def make_aux():
+        return AffwildDataset(aux_fix["file_folder"], aux_fix["anno_folder"],
+                              data_list=str(tmp_path / "aux_list.txt"))
+
+    n_aux_batches = (len(make_aux()) + 3) // 4
+    train_ds, valid_ds, test_ds = build("train"), build("val"), build("test")
+    assert (len(train_ds) + 3) // 4 > 1  # multiple trg batches, or vacuous
+
+    # run A: uninterrupted
+    Trainer(make_cfg("a"), MetricWriter("", also_print=False)).run_multimodal(
+        make_aux(), train_ds, valid_ds, test_ds)
+
+    # run B: preempt after aux pass + 1 trg batch, then resume
+    calls = {"n": 0}
+    fire_at = n_aux_batches + 1
+    orig = preemption.preemption_requested
+
+    def fake_requested():
+        calls["n"] += 1
+        return calls["n"] == fire_at
+
+    preemption.preemption_requested = fake_requested
+    try:
+        with pytest.raises(preemption.Preempted):
+            Trainer(make_cfg("b"),
+                    MetricWriter("", also_print=False)).run_multimodal(
+                make_aux(), train_ds, valid_ds, test_ds)
+    finally:
+        preemption.preemption_requested = orig
+    latest = CheckpointManager(str(tmp_path / "b")).restore("step_0")
+    assert int(latest["progress"]["aux_batch"]) == n_aux_batches
+    assert int(latest["progress"]["trg_batch"]) == 1
+    Trainer(make_cfg("b"), MetricWriter("", also_print=False)).run_multimodal(
+        make_aux(), train_ds, valid_ds, test_ds, resume=True)
+
+    a = CheckpointManager(str(tmp_path / "a")).restore("step_1")
+    b = CheckpointManager(str(tmp_path / "b")).restore("step_1")
+    jax.tree.map(np.testing.assert_array_equal, a["state"], b["state"])
+    np.testing.assert_array_equal(a["rng"], b["rng"])
