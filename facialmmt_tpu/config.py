@@ -272,6 +272,12 @@ class ParallelConfig:
     tp: int = 1         # tensor-parallel axis (model sharding for the text tower)
     data_axis: str = "data"
     model_axis: str = "model"
+    # ZeRO-1: shard large optimizer-moment leaves over the data axis instead
+    # of replicating them (value-exact — the optimizer math is elementwise,
+    # so GSPMD slices the psum'd grads per shard and all-gathers the update;
+    # cuts AdamW moment memory by dp, e.g. 2.8 GB -> 0.7 GB for the
+    # roberta-large tower at dp=4).  parallel/mesh.py::opt_state_shardings.
+    zero1: bool = True
 
 
 @dataclass(frozen=True)

@@ -161,11 +161,14 @@ class Trainer:
                                              resolve_text_config(self.cfg))
 
     def _place_state(self, state):
-        """Replicate train state over the mesh (text-tower params get tp
-        shardings); no-op without a mesh."""
+        """Place the train state over the mesh: text-tower params get tp
+        shardings, optimizer moments shard ZeRO-1-style over the data axis
+        (value-exact; parallel/mesh.py::opt_state_shardings), everything else
+        replicates.  No-op without a mesh."""
         if self.plan is None:
             return state
-        from facialmmt_tpu.parallel.mesh import param_shardings, replicate
+        from facialmmt_tpu.parallel.mesh import (opt_state_shardings,
+                                                 param_shardings, replicate)
 
         rep = replicate(self.plan)
         fields = state._asdict()
@@ -175,8 +178,12 @@ class Trainer:
                 param_shardings(self.plan, state.params))
         }
         for name, value in fields.items():
-            placed[name] = jax.device_put(value,
-                                          jax.tree.map(lambda _: rep, value))
+            if self.cfg.parallel.zero1 and name.endswith("opt_state"):
+                placed[name] = jax.device_put(
+                    value, opt_state_shardings(self.plan, value))
+            else:
+                placed[name] = jax.device_put(
+                    value, jax.tree.map(lambda _: rep, value))
         return type(state)(**placed)
 
     def _place_batch(self, tree, micro: bool = False):

@@ -243,3 +243,104 @@ def test_tp_fusion_towers_run_sharded(rng):
         lambda p, a, kw: m.apply({"params": p}, *a, **kw))(
             sharded_params, args_s, kw_s))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_zero1_opt_state_shardings_and_step_exactness(rng):
+    """ZeRO-1 moment sharding (parallel/mesh.py::opt_state_shardings): large
+    AdamW moment leaves shard over 'data', small ones replicate, and a train
+    step with sharded moments produces EXACTLY the same params/moments as the
+    replicated run (the optimizer math is elementwise)."""
+    from facialmmt_tpu.models.unimodal import MeldUttTransformer
+    from facialmmt_tpu.parallel.mesh import opt_state_shardings
+    from facialmmt_tpu.train.optim import SingleTaskState, make_optimizer
+    from facialmmt_tpu.train.steps import make_unimodal_train_step
+
+    cfg = FacialMMTConfig.tiny()
+    plan = build_mesh(dp=8, tp=1)
+    d = cfg.data
+    feats = jnp.asarray(rng.normal(size=(16, d.vision_utt_max_len,
+                                         d.vision_feat_dim)), jnp.float32)
+    mask = jnp.ones((16, d.vision_utt_max_len), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 7, size=16), jnp.int32)
+
+    model = MeldUttTransformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), feats[:2], mask[:2])["params"]
+    tx = make_optimizer(cfg.optim, 1e-3, 10)
+    state = SingleTaskState.create(params, tx)
+
+    # low threshold so the tiny model's moment leaves actually shard
+    opt_sh = opt_state_shardings(plan, state.opt_state, min_size=64)
+    sharded_specs = [s.spec for s in jax.tree.leaves(opt_sh)
+                     if s.spec != jax.sharding.PartitionSpec()]
+    assert sharded_specs, "no moment leaf sharded — threshold/divisibility bug"
+    for spec in sharded_specs:
+        assert "data" in [ax for ax in spec if ax is not None]
+
+    rep = jax.sharding.NamedSharding(plan.mesh, jax.sharding.PartitionSpec())
+    z_state = SingleTaskState(
+        params=jax.device_put(params, jax.tree.map(lambda _: rep, params)),
+        opt_state=jax.device_put(state.opt_state, opt_sh),
+        step=jax.device_put(state.step, rep))
+    batch = shard_batch(plan, {"f": feats, "m": mask, "l": labels})
+    step = jax.jit(make_unimodal_train_step(model, tx))
+    z_new, z_loss = step(z_state, batch["f"], batch["m"], batch["l"],
+                         jax.random.PRNGKey(1))
+
+    ref_new, ref_loss = jax.jit(make_unimodal_train_step(model, tx))(
+        state, feats, mask, labels, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(z_loss), float(ref_loss), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        ref_new.params, jax.device_get(z_new.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        ref_new.opt_state, jax.device_get(z_new.opt_state))
+    # output moments keep their ZeRO-1 sharding (no silent re-replication)
+    out_specs = [x.sharding.spec for x in jax.tree.leaves(z_new.opt_state)
+                 if hasattr(x, "sharding")
+                 and x.sharding.spec != jax.sharding.PartitionSpec()]
+    assert out_specs, "step re-replicated the moments"
+
+
+def test_trainer_places_zero1_moments(tmp_path, rng):
+    """Trainer._place_state shards opt-state moments over 'data' when
+    parallel.zero1 is on (default) and replicates them when off."""
+    from facialmmt_tpu.config import OptimConfig, ParallelConfig, RuntimeConfig
+    from facialmmt_tpu.models.unimodal import MeldUttTransformer
+    from facialmmt_tpu.train.optim import SingleTaskState, make_optimizer
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+
+    import dataclasses
+
+    base = FacialMMTConfig.tiny().replace(
+        optim=OptimConfig(num_epochs=1, trg_batch_size=8,
+                          trg_accumulation_steps=1),
+        runtime=RuntimeConfig(save_model_path=str(tmp_path), metrics_path="",
+                              compute_dtype="float32"))
+
+    def place(zero1):
+        cfg = base.replace(parallel=ParallelConfig(dp=8, tp=1, zero1=zero1))
+        t = Trainer(cfg, MetricWriter("", also_print=False))
+        assert t.plan is not None
+        model = MeldUttTransformer(cfg)
+        d = cfg.data
+        feats = jnp.asarray(rng.normal(size=(2, d.vision_utt_max_len,
+                                             d.vision_feat_dim)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), feats,
+                            jnp.ones((2, d.vision_utt_max_len)))["params"]
+        tx = make_optimizer(cfg.optim, 1e-3, 10)
+        state = t._place_state(SingleTaskState.create(params, tx))
+        return [x.sharding.spec for x in jax.tree.leaves(state.opt_state)
+                if hasattr(x, "sharding")]
+
+    specs_off = place(zero1=False)
+    assert all(s == jax.sharding.PartitionSpec() for s in specs_off)
+    # tiny model: leaves are below the 65536 default threshold except none —
+    # so just assert the call path works and yields only valid specs
+    specs_on = place(zero1=True)
+    for s in specs_on:
+        for ax in s:
+            assert ax in (None, "data")
