@@ -81,21 +81,37 @@ class EmotionServer:
             "face_pos": np.zeros(self.face_capacity, np.int32),
         }
 
+    def predict_device(self, batch: Dict[str, np.ndarray],
+                       faces_raw: np.ndarray):
+        """Dispatch one fixed-shape inference WITHOUT reading the result
+        back: returns the device array of (max_batch, num_labels) probability
+        rows.  JAX dispatch is asynchronous, so a caller can enqueue the next
+        pack's transfer+compute before blocking on this one — the
+        AsyncBatchServer pipeline depends on this split."""
+        self._rng, key = jax.random.split(self._rng)
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return self._infer(self.variables, device_batch,
+                           jnp.asarray(faces_raw), key)
+
     def predict_raw(self, batch: Dict[str, np.ndarray],
                     faces_raw: np.ndarray) -> np.ndarray:
         """One fixed-shape inference call.  Returns (max_batch, num_labels)
         emotion probability rows."""
-        self._rng, key = jax.random.split(self._rng)
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        probs = self._infer(self.variables, device_batch,
-                            jnp.asarray(faces_raw), key)
-        return np.asarray(probs)
+        return np.asarray(self.predict_device(batch, faces_raw))
 
     def predict(self, requests) -> list:
         """requests: list (<= max_batch) of dicts with optional keys
         {'audio' (La, da), 'vision' (Lv, dv), 'faces' (n, 160, 160, 3),
          'input_ids', 'input_mask', 'sep_mask', 'utt_in_dia_idx'}.
         Returns one probability vector per request."""
+        batch, faces_raw = self.build_pack(requests)
+        probs = self.predict_raw(batch, faces_raw)
+        return [probs[j] for j in range(len(requests))]
+
+    def build_pack(self, requests):
+        """Pad a list of <= max_batch requests into the server's static
+        shapes; returns (batch dict, faces_raw) ready for predict_raw /
+        predict_device."""
         assert len(requests) <= self.max_batch
         batch = self._zero_batch()
         faces_raw = np.zeros((self.face_capacity, 160, 160, 3), np.uint8)
@@ -135,8 +151,7 @@ class EmotionServer:
                     batch["face_pos"][cursor] = t
                     cursor += 1
                 batch["n_faces"][j] = take
-        probs = self.predict_raw(batch, faces_raw)
-        return [probs[j] for j in range(len(requests))]
+        return batch, faces_raw
 
     def benchmark_latency(self, iters: int = 20) -> Dict[str, float]:
         batch = self._zero_batch()
@@ -169,13 +184,20 @@ class AsyncBatchServer:
     the TPU executable, so device calls are naturally serialized.
     """
 
-    def __init__(self, server: EmotionServer, batch_deadline_ms: float = 5.0):
+    def __init__(self, server: EmotionServer, batch_deadline_ms: float = 5.0,
+                 pipeline_depth: int = 2):
         import collections
         import queue as queue_mod
         import threading
 
         self.server = server
         self.deadline = batch_deadline_ms / 1000.0
+        # packs in flight on the device before the packer blocks on a
+        # readback: JAX dispatch is async, so with depth 2 the NEXT pack's
+        # host padding + host->device transfer overlaps the CURRENT pack's
+        # device compute (measured: lifts the saturated (32,256) bucket
+        # ~1.5x over the serial packer — BASELINE.md load table)
+        self.pipeline_depth = max(1, pipeline_depth)
         self._q: "queue_mod.Queue" = queue_mod.Queue()
         self._holdover = collections.deque()  # didn't fit the last pack
         self._stop = threading.Event()
@@ -210,10 +232,25 @@ class AsyncBatchServer:
         except queue_mod.Empty:
             return None
 
+    def _resolve(self, pack, device_probs):
+        try:
+            probs = np.asarray(device_probs)  # blocks until compute done
+        except Exception as e:
+            for _, fut in pack:
+                fut.set_exception(e)
+            return
+        for j, (_, fut) in enumerate(pack):
+            fut.set_result(probs[j])
+
     def _run(self):
+        import collections
+
+        inflight = collections.deque()  # (pack, device_probs)
         while not self._stop.is_set():
             first = self._next_item(timeout=0.05)
             if first is None:
+                while inflight:  # idle: drain the pipeline
+                    self._resolve(*inflight.popleft())
                 continue
             pack, faces = [first], self._faces_of(first[0])
             t0 = time.perf_counter()
@@ -232,13 +269,22 @@ class AsyncBatchServer:
                 faces += need
             self.pack_sizes.append(len(pack))
             try:
-                results = self.server.predict([r for r, _ in pack])
+                batch, faces_raw = self.server.build_pack([r for r, _ in pack])
+                device_probs = self.server.predict_device(batch, faces_raw)
             except Exception as e:  # surface to every waiting caller
                 for _, fut in pack:
                     fut.set_exception(e)
                 continue
-            for (_, fut), probs in zip(pack, results):
-                fut.set_result(probs)
+            inflight.append((pack, device_probs))
+            # keep the pipe full only under back-pressure: with no queued
+            # requests, resolve immediately so light-load latency matches the
+            # serial packer (the pipeline only pays off when the next pack is
+            # ready to dispatch before this one finishes)
+            while (len(inflight) >= self.pipeline_depth or
+                   (inflight and self._q.empty() and not self._holdover)):
+                self._resolve(*inflight.popleft())
+        while inflight:
+            self._resolve(*inflight.popleft())
 
 
 def benchmark_load(server: EmotionServer, rate_utt_per_s: float,
