@@ -292,7 +292,10 @@ class RuntimeConfig:
     trg_log_interval: int = 1600
     save_model_path: str = "saved_model"
     metrics_path: str = "metrics.jsonl"
-    profile_dir: str = ""               # set to enable jax.profiler traces
+    profile_dir: str = ""               # non-empty: capture a 5-step
+                                        # jax.profiler device trace of the
+                                        # first training steps into this dir
+                                        # (utils/observability.StepProfiler)
     eval_face_chunk: int = 0            # >0: stream eval Swin over the packed
                                         # faces in tiles of this size (lax.map)
                                         # so huge eval batches fit HBM; 0 = the

@@ -160,6 +160,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "HBM; 0 = fully-fused eval (train/steps.py)")
     p.add_argument("--deterministic_gumbel", type=int, default=0)
     p.add_argument("--debug_nans", type=int, default=0)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="non-empty: capture a 5-step jax.profiler device "
+                        "trace of the first training steps into this dir "
+                        "(TensorBoard/xprof viewable)")
     p.add_argument("--prng_impl", type=str, default="auto",
                    choices=["auto", "rbg", "threefry2x32"],
                    help="dropout/gumbel RNG: 'auto' = TPU hardware generator "
@@ -226,6 +230,7 @@ def config_from_args(args) -> "FacialMMTConfig":
                         trg_accumulation_steps=args.trg_accumulation_steps,
                         clip=args.clip, patience=args.patience)
     runtime = RuntimeConfig(seed=args.seed, compute_dtype=args.compute_dtype,
+                            profile_dir=args.profile_dir,
                             eval_face_chunk=args.eval_face_chunk,
                             deterministic_gumbel=bool(
                                 args.deterministic_gumbel),

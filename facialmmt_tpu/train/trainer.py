@@ -91,6 +91,11 @@ class Trainer:
 
         self.rng = jax.random.key(cfg.runtime.seed,
                                   impl=resolve_prng_impl(cfg))
+        # --profile_dir: bounded jax.profiler capture of the first train
+        # steps (utils/observability.StepProfiler; no-op when unset)
+        from facialmmt_tpu.utils.observability import StepProfiler
+
+        self.profiler = StepProfiler(cfg.runtime.profile_dir)
         # device mesh: dp batches over 'data', tp text-tower kernels over
         # 'model' (parallel/mesh.py).  Single device => plan is a no-op.
         self.plan = self._build_plan(self._effective_batch())
@@ -316,6 +321,7 @@ class Trainer:
                 state, loss = train_step(
                     state, placed["feats"], placed["mask"], placed["labels"],
                     self._next_rng())
+                self.profiler.step()
                 timer.update(float(loss), n_valid)
                 self._maybe_preempt(ckpt, state, best_f1, epoch,
                                     {"batch": i + 1})
@@ -335,6 +341,7 @@ class Trainer:
                 self._ckpt_payload(state, best_f1, epoch, {"batch": 0}),
                 epoch)
 
+        self.profiler.close()
         best = ckpt.restore_best({"params": state.params})
         logits, labels = self._eval_unimodal(eval_step, best["params"], test_ds)
         test_f1 = eval_meld(logits, labels, test=True)
@@ -568,6 +575,7 @@ class Trainer:
                     img_size=cfg.data.swin_img_size).astype(self.dtype)
                 state, loss = aux_step(state, images, jnp.asarray(labels),
                                        self._next_rng())
+                self.profiler.step()
                 timer.update(float(loss), n_valid)
                 self._maybe_preempt(ckpt, state, best_f1, epoch,
                                     {"aux_batch": i + 1, "trg_batch": 0})
@@ -589,6 +597,7 @@ class Trainer:
                     start=trg_sb):
                 device_batch = self._prepare_faces(batch, train=True)
                 state, loss = trg_step(state, device_batch, self._next_rng())
+                self.profiler.step()
                 timer.update(float(loss), n_valid)
                 self._maybe_preempt(
                     ckpt, state, best_f1, epoch,
@@ -621,6 +630,7 @@ class Trainer:
                               f"{opt.patience} epochs. Stopping training.")
                         break
 
+        self.profiler.close()
         best = ckpt.restore_best({"params": state.params,
                                   "batch_stats": state.batch_stats})
         logits, labels = self._eval_multimodal(
@@ -760,6 +770,7 @@ class TextTrainer(Trainer):
                 placed = self._place_batch(
                     {k: jnp.asarray(v) for k, v in batch.items()})
                 state, loss = train_step(state, placed, self._next_rng())
+                self.profiler.step()
                 self._maybe_preempt(ckpt, state, best_f1, epoch,
                                     {"batch": i + 1})
             logits, labels, val_loss = self._evaluate_text(
@@ -783,6 +794,7 @@ class TextTrainer(Trainer):
                               f"{opt.patience} epochs. Stopping training.")
                         break
 
+        self.profiler.close()
         best = ckpt.restore_best({"params": state.params})
         logits, labels, _ = self._evaluate_text(
             eval_step, best["params"], test_ds, bsz)
@@ -929,6 +941,7 @@ class DialogueTrainer(Trainer):
                     {k: jnp.asarray(v) for k, v in batch.items()})
                 state, loss = train_step(state, device_batch,
                                          self._next_rng())
+                self.profiler.step()
                 self._maybe_preempt(ckpt, state, best_f1, epoch,
                                     {"batch": i + 1})
             preds, trues, _, val_loss = self._evaluate_dialogue(
@@ -952,6 +965,7 @@ class DialogueTrainer(Trainer):
                               f"{opt.patience} epochs. Stopping training.")
                         break
 
+        self.profiler.close()
         best = ckpt.restore_best({"params": state.params})
         preds, trues, _, _ = self._evaluate_dialogue(
             eval_step, best["params"], test_ds, bsz)

@@ -106,6 +106,47 @@ def profile_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+class StepProfiler:
+    """Bounded device-trace capture for training loops.
+
+    When constructed with a non-empty `log_dir` (RuntimeConfig.profile_dir /
+    `--profile_dir`), the FIRST `steps` calls to step() are captured as a
+    jax.profiler trace (viewable in TensorBoard / xprof) and the trace is
+    stopped automatically; with an empty log_dir every call is a no-op.
+    Skips the very first step so the trace holds steady-state steps, not the
+    compile (SURVEY.md §5.1 TPU plan: jax.profiler traces + step timing)."""
+
+    def __init__(self, log_dir: str, steps: int = 5, skip: int = 1):
+        self.log_dir = log_dir
+        self.steps = steps
+        self.skip = skip
+        self._seen = 0
+        self._active = False
+
+    def step(self):
+        if not self.log_dir:
+            return
+        import jax.profiler
+
+        self._seen += 1
+        if self._seen == self.skip + 1 and not self._active:
+            os.makedirs(self.log_dir, exist_ok=True)
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and self._seen > self.skip + self.steps:
+            jax.profiler.stop_trace()
+            self._active = False
+            self.log_dir = ""  # one capture per run
+            print(f"profiler: {self.steps}-step device trace written")
+
+    def close(self):
+        if self._active:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 def enable_nan_debugging():
     import jax
 

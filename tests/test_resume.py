@@ -435,3 +435,34 @@ def test_exact_resume_multimodal_mid_trg_phase(tmp_path, rng):
     b = CheckpointManager(str(tmp_path / "b")).restore("step_1")
     jax.tree.map(np.testing.assert_array_equal, a["state"], b["state"])
     np.testing.assert_array_equal(a["rng"], b["rng"])
+
+
+def test_profile_dir_captures_trace(tmp_path, rng):
+    """--profile_dir: the trainer captures a bounded jax.profiler trace of
+    the first train steps (utils/observability.StepProfiler)."""
+    import dataclasses
+
+    from facialmmt_tpu.data.meld import MeldVisionDataset
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+
+    for split in ("train", "val", "test"):
+        write_meld_fixture(str(tmp_path), split=split, seed=hash(split) % 50)
+    train_ds = MeldVisionDataset(str(tmp_path), "train")
+    valid_ds = MeldVisionDataset(str(tmp_path), "val")
+    test_ds = MeldVisionDataset(str(tmp_path), "test")
+
+    cfg = _cfg(tmp_path, 1)
+    prof_dir = str(tmp_path / "trace")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data,
+                                 vision_utt_max_len=train_ds.max_utt_len,
+                                 vision_feat_dim=train_ds.feat_dim),
+        runtime=dataclasses.replace(cfg.runtime, profile_dir=prof_dir))
+    Trainer(cfg, MetricWriter("", also_print=False)).run_unimodal(
+        train_ds, valid_ds, test_ds)
+    found = []
+    for root, _dirs, files in os.walk(prof_dir):
+        found += [f for f in files if f.endswith((".xplane.pb", ".trace.json",
+                                                  ".json.gz"))]
+    assert found, f"no profiler artifacts under {prof_dir}"
