@@ -25,10 +25,16 @@ def _as_numpy_tree(tree: Any) -> Any:
 class CheckpointManager:
     """Thin orbax wrapper with best-model retention."""
 
-    def __init__(self, directory: str, keep_best_only: bool = True):
+    def __init__(self, directory: str, keep_best_only: bool = True,
+                 keep_steps: int = 2):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.keep_best_only = keep_best_only
+        # resume checkpoints retained (newest first); older ones are pruned
+        # on each save_step — only the latest is ever restored
+        # (restore_latest), the second-newest survives as insurance against
+        # a corrupt latest.  <= 0 keeps everything.
+        self.keep_steps = keep_steps
         self._ckptr = ocp.PyTreeCheckpointer()
         self._best_path: Optional[str] = None
 
@@ -71,8 +77,22 @@ class CheckpointManager:
         return path
 
     def save_step(self, tree: Any, step: int) -> str:
-        """Periodic resume checkpoint (preemption resilience, SURVEY.md §5.3)."""
-        return self.save(f"step_{step}", tree)
+        """Periodic resume checkpoint (preemption resilience, SURVEY.md §5.3).
+        Prunes resume checkpoints beyond the newest `keep_steps` (a 50-epoch
+        run otherwise leaves 50 full optimizer-state trees on disk — the
+        reference keeps only its best pickle, reference train.py:377-388)."""
+        path = self.save(f"step_{step}", tree)
+        if self.keep_steps > 0:
+            steps = []
+            for name in os.listdir(self.directory):
+                if name.startswith("step_"):
+                    try:
+                        steps.append(int(name.split("_")[1]))
+                    except (IndexError, ValueError):
+                        continue
+            for old in sorted(steps)[:-self.keep_steps]:
+                shutil.rmtree(os.path.join(self.directory, f"step_{old}"))
+        return path
 
     def latest_step(self) -> Optional[int]:
         steps = []

@@ -466,3 +466,23 @@ def test_profile_dir_captures_trace(tmp_path, rng):
         found += [f for f in files if f.endswith((".xplane.pb", ".trace.json",
                                                   ".json.gz"))]
     assert found, f"no profiler artifacts under {prof_dir}"
+
+
+def test_save_step_retention(tmp_path):
+    """save_step prunes resume checkpoints beyond keep_steps (newest kept)."""
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+
+    d = str(tmp_path / "ckpt")
+    m = CheckpointManager(d, keep_steps=2)
+    for step in range(1, 5):
+        m.save_step({"w": np.float32(step)}, step)
+    names = sorted(n for n in os.listdir(d) if n.startswith("step_"))
+    assert names == ["step_3", "step_4"]
+    assert float(m.restore_latest({"w": np.float32(0)})["w"]) == 4.0
+
+    # keep_steps <= 0 disables pruning
+    m_all = CheckpointManager(str(tmp_path / "all"), keep_steps=0)
+    for step in range(1, 4):
+        m_all.save_step({"w": np.float32(step)}, step)
+    assert len([n for n in os.listdir(tmp_path / "all")
+                if n.startswith("step_")]) == 3
