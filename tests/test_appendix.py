@@ -539,3 +539,47 @@ def test_serving_async_packer(rng):
                            batch_deadline_ms=10.0)
     assert stats["n_requests"] >= 1
     assert stats["p50_ms"] > 0
+
+
+def test_serving_pack_identity_matches_solo(rng):
+    """Response identity under packing: each request's probability vector in a
+    shared pack must equal its solo prediction (slot outputs are independent
+    — all padded ops are masked; deterministic gumbel removes the only rng
+    influence).  Guards the packer's request->slot->result mapping."""
+    import dataclasses
+
+    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+    from facialmmt_tpu.serving import AsyncBatchServer, EmotionServer
+    from tests.test_models import make_multimodal_batch
+
+    cfg = CFG.replace(runtime=dataclasses.replace(
+        CFG.runtime, deterministic_gumbel=True))
+    batch = make_multimodal_batch(rng, cfg, b=2)
+    model = FacialMMTPipeline(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        batch)
+    d = cfg.data
+
+    server = EmotionServer(cfg, variables, max_batch=4, face_capacity=16)
+    reqs = [{
+        "audio": rng.normal(size=(5, d.audio_feat_dim)),
+        "faces": rng.integers(0, 255, (2, 160, 160, 3), dtype=np.uint8),
+        "input_ids": rng.integers(2, cfg.text.vocab_size, size=(20,)),
+        "sep_mask": np.eye(20)[7],
+    } for _ in range(3)]
+
+    solo = [server.predict([r])[0] for r in reqs]
+    assert not np.allclose(solo[0], solo[1])  # distinct inputs -> distinct outs
+
+    packed = server.predict(reqs)
+    for s, p in zip(solo, packed):
+        np.testing.assert_allclose(s, p, rtol=1e-5, atol=1e-5)
+
+    # and through the async packer (one pack of 3)
+    front = AsyncBatchServer(server, batch_deadline_ms=200.0)
+    futs = [front.submit(r) for r in reqs]
+    outs = [f.result(timeout=60) for f in futs]
+    front.close()
+    for s, o in zip(solo, outs):
+        np.testing.assert_allclose(s, o, rtol=1e-5, atol=1e-5)
