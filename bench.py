@@ -305,6 +305,26 @@ def main():
                           8 * eval_batch)
     flops_per_sec = 2 * macs * ev["best"] / eval_batch
 
+    # host input pipeline on THIS machine (native decode+resize of a small
+    # synthetic JPEG corpus, default thread pool = all cores): records what
+    # the bench host can actually feed the device rates above
+    # (experiments/loader_bench.py has the full table; 0.0 = native loader
+    # unavailable, cv2 fallback in use)
+    host_rate = 0.0
+    try:
+        import os as _os
+        import tempfile
+
+        from experiments.loader_bench import bench_native, make_corpus
+
+        with tempfile.TemporaryDirectory() as corpus_dir:
+            paths = make_corpus(corpus_dir, 256, 160)
+            r = bench_native(paths, cfg.data.swin_img_size, 0, repeats=2)
+            host_rate = round(r, 1) if r else 0.0
+        host_cores = _os.cpu_count()
+    except Exception:
+        host_cores = None
+
     print(json.dumps({
         "metric": "meld_tav_eval_throughput",
         "value": round(ev["best"], 2),
@@ -326,6 +346,8 @@ def main():
         "aux_batch": aux_batch,
         "model_tflops_per_sec": round(flops_per_sec / 1e12, 2),
         "mfu_vs_v5e_peak": round(flops_per_sec / V5E_BF16_PEAK_FLOPS, 4),
+        "host_loader_imgs_per_sec": host_rate,
+        "host_cores": host_cores,
     }))
 
 
