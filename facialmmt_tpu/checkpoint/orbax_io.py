@@ -72,7 +72,17 @@ class CheckpointManager:
         if self.keep_best_only:
             for name in os.listdir(self.directory):
                 if name.startswith("best_") and name != tag:
-                    shutil.rmtree(os.path.join(self.directory, name))
+                    # manage only best_<int> checkpoint DIRS (same contract
+                    # as restore_best's parse filter): a stray user file or
+                    # artifact named best_* must be neither deleted nor a
+                    # crash
+                    try:
+                        int(name.split("_")[1])
+                    except (IndexError, ValueError):
+                        continue
+                    victim = os.path.join(self.directory, name)
+                    if os.path.isdir(victim):
+                        shutil.rmtree(victim)
         self._best_path = path
         return path
 
@@ -131,7 +141,29 @@ class CheckpointManager:
         return self.restore(f"best_{best_step}", template)
 
     def restore_latest(self, template: Optional[Any] = None) -> Optional[Any]:
-        step = self.latest_step()
-        if step is None:
+        """Restore the newest resume checkpoint, falling back to older ones
+        when the newest fails to load (e.g. corrupted by a crash mid-write
+        outside the crash-safe swap) — this is what `keep_steps` > 1 retains
+        them for.  Raises the NEWEST checkpoint's error only when every
+        retained checkpoint fails."""
+        steps = []
+        if os.path.isdir(self.directory):
+            for name in os.listdir(self.directory):
+                if name.startswith("step_"):
+                    try:
+                        steps.append(int(name.split("_")[1]))
+                    except (IndexError, ValueError):
+                        pass
+        if not steps:
             return None
-        return self.restore(f"step_{step}", template)
+        first_err: Optional[Exception] = None
+        for step in sorted(steps, reverse=True):
+            try:
+                return self.restore(f"step_{step}", template)
+            except Exception as e:  # try the next-newest retained checkpoint
+                if first_err is None:
+                    first_err = e
+                print(f"WARNING: restore of step_{step} failed "
+                      f"({type(e).__name__}: {e}); trying an older "
+                      f"resume checkpoint")
+        raise first_err

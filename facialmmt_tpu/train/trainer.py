@@ -212,41 +212,63 @@ class Trainer:
             impl=resolve_prng_impl(self.cfg))
 
     def _ckpt_payload(self, state, best_f1: float, epoch: int,
-                      progress: Dict[str, int]):
+                      progress: Dict[str, int],
+                      early_stop: Optional[Dict[str, float]] = None):
         """Resume checkpoint contents.  `epoch` counts COMPLETED epochs;
         `progress` counts batches already applied in epoch+1 (all zero at an
         epoch boundary).  The trainer PRNG key rides along so a resumed run
         continues the exact dropout/gumbel/augment stream instead of silently
-        forking it (VERDICT r3 weak #5)."""
+        forking it, and the early-stopping counters ride along so a resumed
+        run stops at the same epoch an uninterrupted one would
+        (VERDICT r3 weak #5)."""
+        es = early_stop or {}
         return {"state": state, "best_f1": best_f1, "epoch": epoch,
                 "progress": {k: int(v) for k, v in progress.items()},
+                "early_stop": {
+                    "best_val_loss": float(es.get("best_val_loss",
+                                                  float("inf"))),
+                    "patience_counter": int(es.get("patience_counter", 0))},
                 "rng": self._rng_data()}
 
     def _restore_latest(self, ckpt, state, progress_zero: Dict[str, int]):
-        """Restore the latest resume checkpoint.  Returns
-        (state, best_f1, start_epoch, progress) — progress == progress_zero
-        when the checkpoint was taken at an epoch boundary.  Falls back to the
-        pre-round-4 {state, best_f1, epoch} payload (inexact resume: epoch
-        restarts, PRNG stream forks) for old checkpoint dirs."""
+        """Restore the latest resume checkpoint and RE-PLACE it on the mesh
+        (a restored state is plain host arrays — without re-placement a
+        resumed dp/tp run would silently lose its ZeRO-1 and TP shardings).
+        Returns (state, best_f1, start_epoch, progress, early_stop) —
+        progress == progress_zero when the checkpoint was taken at an epoch
+        boundary.  Falls back LOUDLY to the pre-round-4
+        {state, best_f1, epoch} payload (inexact resume: epoch restarts, PRNG
+        stream forks) for old checkpoint dirs."""
+        early_stop = {"best_val_loss": float("inf"), "patience_counter": 0}
         try:
             latest = ckpt.restore_latest(
                 self._ckpt_payload(state, -1.0, 0, progress_zero))
             if latest is None:
-                return state, None, 1, dict(progress_zero)
+                return state, None, 1, dict(progress_zero), early_stop
             self._restore_rng(latest["rng"])
             progress = {k: int(latest["progress"][k]) for k in progress_zero}
-        except Exception:
+            es = latest.get("early_stop", {})
+            early_stop = {
+                "best_val_loss": float(es["best_val_loss"]),
+                "patience_counter": int(es["patience_counter"]),
+            } if es else early_stop
+        except Exception as e:
+            print(f"WARNING: new-format resume restore failed "
+                  f"({type(e).__name__}: {e}); retrying with the legacy "
+                  f"payload — resume will be INEXACT (the interrupted "
+                  f"epoch restarts and the PRNG stream forks)")
             latest = ckpt.restore_latest(
                 {"state": state, "best_f1": -1.0, "epoch": 0})
             if latest is None:
-                return state, None, 1, dict(progress_zero)
+                return state, None, 1, dict(progress_zero), early_stop
             progress = dict(progress_zero)
-        state = jax.tree.map(jnp.asarray, latest["state"])
+        state = self._place_state(jax.tree.map(jnp.asarray, latest["state"]))
         return (state, float(latest["best_f1"]), int(latest["epoch"]) + 1,
-                progress)
+                progress, early_stop)
 
     def _maybe_preempt(self, ckpt, state, best_f1: float, epoch: int,
-                       progress: Optional[Dict[str, int]] = None) -> None:
+                       progress: Optional[Dict[str, int]] = None,
+                       early_stop: Optional[Dict[str, float]] = None) -> None:
         """Poll the SIGTERM guard at a batch boundary (utils/preemption.py).
         On request: overwrite the previous epoch's resume checkpoint with the
         mid-epoch state (strictly-later training state, same resume contract)
@@ -266,8 +288,10 @@ class Trainer:
                                                     preemption_requested)
         if not preemption_requested():
             return
+        self.profiler.close()  # flush an in-flight trace before exiting
         path = ckpt.save_step(
-            self._ckpt_payload(state, best_f1, epoch - 1, progress or {}),
+            self._ckpt_payload(state, best_f1, epoch - 1, progress or {},
+                               early_stop),
             epoch - 1)
         print(f"Preemption requested: resume checkpoint saved to {path}; "
               f"restart with --resume 1 to continue epoch {epoch}.")
@@ -305,7 +329,7 @@ class Trainer:
         best_f1, best_step = -1.0, -1
         start_epoch, resume_batch = 1, 0
         if resume:
-            state, bf, start_epoch, prog = self._restore_latest(
+            state, bf, start_epoch, prog, _ = self._restore_latest(
                 ckpt, state, {"batch": 0})
             if bf is not None:
                 best_f1 = bf
@@ -552,10 +576,12 @@ class Trainer:
         start_epoch = 1
         resume_prog = {"aux_batch": 0, "trg_batch": 0}
         if resume:
-            state, bf, start_epoch, resume_prog = self._restore_latest(
+            state, bf, start_epoch, resume_prog, es = self._restore_latest(
                 ckpt, state, resume_prog)
             if bf is not None:
                 best_f1 = bf
+            best_val_loss = es["best_val_loss"]
+            patience_counter = es["patience_counter"]
         for epoch in range(start_epoch, opt.num_epochs + 1):
             first = epoch == start_epoch
             aux_sb = resume_prog["aux_batch"] if first else 0
@@ -577,8 +603,11 @@ class Trainer:
                                        self._next_rng())
                 self.profiler.step()
                 timer.update(float(loss), n_valid)
-                self._maybe_preempt(ckpt, state, best_f1, epoch,
-                                    {"aux_batch": i + 1, "trg_batch": 0})
+                self._maybe_preempt(
+                    ckpt, state, best_f1, epoch,
+                    {"aux_batch": i + 1, "trg_batch": 0},
+                    {"best_val_loss": best_val_loss,
+                     "patience_counter": patience_counter})
                 if i % cfg.runtime.aux_log_interval == 0 and i > 0:
                     ms, avg = timer.interval_stats(cfg.runtime.aux_log_interval)
                     self.writer.log_train("SRC", epoch, i, len(aux_loader),
@@ -601,7 +630,9 @@ class Trainer:
                 timer.update(float(loss), n_valid)
                 self._maybe_preempt(
                     ckpt, state, best_f1, epoch,
-                    {"aux_batch": len(aux_loader), "trg_batch": i + 1})
+                    {"aux_batch": len(aux_loader), "trg_batch": i + 1},
+                    {"best_val_loss": best_val_loss,
+                     "patience_counter": patience_counter})
                 if i % cfg.runtime.trg_log_interval == 0 and i > 0:
                     ms, avg = timer.interval_stats(cfg.runtime.trg_log_interval)
                     self.writer.log_train("TRG", epoch, i, steps_per_epoch,
@@ -616,19 +647,24 @@ class Trainer:
                 best_f1 = val_f1
                 ckpt.save_best({"params": state.params,
                                 "batch_stats": state.batch_stats}, epoch)
-            ckpt.save_step(
-                self._ckpt_payload(state, best_f1, epoch,
-                                   {"aux_batch": 0, "trg_batch": 0}), epoch)
+            # update the early-stopping counters BEFORE the epoch checkpoint
+            # so a resumed run carries them (exact-resume contract)
             if opt.patience > 0:  # appendix early stopping on val loss
                 if val_loss < best_val_loss:
                     best_val_loss = val_loss
                     patience_counter = 0
                 else:
                     patience_counter += 1
-                    if patience_counter >= opt.patience:
-                        print(f"Validation loss has not descended for "
-                              f"{opt.patience} epochs. Stopping training.")
-                        break
+            ckpt.save_step(
+                self._ckpt_payload(state, best_f1, epoch,
+                                   {"aux_batch": 0, "trg_batch": 0},
+                                   {"best_val_loss": best_val_loss,
+                                    "patience_counter": patience_counter}),
+                epoch)
+            if opt.patience > 0 and patience_counter >= opt.patience:
+                print(f"Validation loss has not descended for "
+                      f"{opt.patience} epochs. Stopping training.")
+                break
 
         self.profiler.close()
         best = ckpt.restore_best({"params": state.params,
@@ -730,9 +766,9 @@ class TextTrainer(Trainer):
 
     def run_text(self, train_ds, valid_ds, test_ds,
                  use_macro_f1: bool = True, resume: bool = False) -> float:
-        """resume=True restarts from the latest epoch checkpoint (early-
-        stopping patience restarts fresh — only {state, best_f1, epoch} is
-        checkpointed, matching the other loops)."""
+        """resume=True restarts from the latest epoch checkpoint; the
+        early-stopping counters ride the checkpoint, so a resumed run stops
+        at the same epoch an uninterrupted one would."""
         from facialmmt_tpu.train.metrics import macro_f1, weighted_f1
         from facialmmt_tpu.train.steps import (make_text_eval_step,
                                                make_text_train_step)
@@ -758,11 +794,13 @@ class TextTrainer(Trainer):
         patience_counter = 0
         start_epoch, resume_batch = 1, 0
         if resume:
-            state, bf, start_epoch, prog = self._restore_latest(
+            state, bf, start_epoch, prog, es = self._restore_latest(
                 ckpt, state, {"batch": 0})
             if bf is not None:
                 best_f1 = bf
             resume_batch = prog["batch"]
+            best_val_loss = es["best_val_loss"]
+            patience_counter = es["patience_counter"]
         for epoch in range(start_epoch, opt.num_epochs + 1):
             sb = resume_batch if epoch == start_epoch else 0
             for i, (batch, _) in enumerate(
@@ -772,7 +810,9 @@ class TextTrainer(Trainer):
                 state, loss = train_step(state, placed, self._next_rng())
                 self.profiler.step()
                 self._maybe_preempt(ckpt, state, best_f1, epoch,
-                                    {"batch": i + 1})
+                                    {"batch": i + 1},
+                                    {"best_val_loss": best_val_loss,
+                                     "patience_counter": patience_counter})
             logits, labels, val_loss = self._evaluate_text(
                 eval_step, state.params, valid_ds, bsz)
             val_f1 = metric(labels, logits.argmax(-1))
@@ -780,19 +820,23 @@ class TextTrainer(Trainer):
             if val_f1 > best_f1:
                 best_f1 = val_f1
                 ckpt.save_best({"params": state.params}, epoch)
-            ckpt.save_step(
-                self._ckpt_payload(state, best_f1, epoch, {"batch": 0}),
-                epoch)
+            # update the early-stopping counters BEFORE the epoch checkpoint
+            # so a resumed run carries them (exact-resume contract)
             if opt.patience > 0:
                 if val_loss < best_val_loss:
                     best_val_loss = val_loss
                     patience_counter = 0
                 else:
                     patience_counter += 1
-                    if patience_counter >= opt.patience:
-                        print(f"Validation loss has not descended for "
-                              f"{opt.patience} epochs. Stopping training.")
-                        break
+            ckpt.save_step(
+                self._ckpt_payload(state, best_f1, epoch, {"batch": 0},
+                                   {"best_val_loss": best_val_loss,
+                                    "patience_counter": patience_counter}),
+                epoch)
+            if opt.patience > 0 and patience_counter >= opt.patience:
+                print(f"Validation loss has not descended for "
+                      f"{opt.patience} epochs. Stopping training.")
+                break
 
         self.profiler.close()
         best = ckpt.restore_best({"params": state.params})
@@ -900,8 +944,8 @@ class DialogueTrainer(Trainer):
 
     def run_dialogue(self, train_ds, valid_ds, test_ds,
                      use_macro_f1: bool = True, resume: bool = False) -> float:
-        """resume=True restarts from the latest epoch checkpoint (see
-        run_text note on early-stopping patience)."""
+        """resume=True restarts from the latest epoch checkpoint; the
+        early-stopping counters ride the checkpoint (see run_text)."""
         from facialmmt_tpu.train.metrics import macro_f1, weighted_f1
         from facialmmt_tpu.train.steps import (make_dialogue_eval_step,
                                                make_dialogue_train_step)
@@ -928,11 +972,13 @@ class DialogueTrainer(Trainer):
         patience_counter = 0
         start_epoch, resume_batch = 1, 0
         if resume:
-            state, bf, start_epoch, prog = self._restore_latest(
+            state, bf, start_epoch, prog, es = self._restore_latest(
                 ckpt, state, {"batch": 0})
             if bf is not None:
                 best_f1 = bf
             resume_batch = prog["batch"]
+            best_val_loss = es["best_val_loss"]
+            patience_counter = es["patience_counter"]
         for epoch in range(start_epoch, opt.num_epochs + 1):
             sb = resume_batch if epoch == start_epoch else 0
             for i, (batch, _) in enumerate(
@@ -943,7 +989,9 @@ class DialogueTrainer(Trainer):
                                          self._next_rng())
                 self.profiler.step()
                 self._maybe_preempt(ckpt, state, best_f1, epoch,
-                                    {"batch": i + 1})
+                                    {"batch": i + 1},
+                                    {"best_val_loss": best_val_loss,
+                                     "patience_counter": patience_counter})
             preds, trues, _, val_loss = self._evaluate_dialogue(
                 eval_step, state.params, valid_ds, bsz)
             val_f1 = metric(trues, preds)
@@ -951,19 +999,22 @@ class DialogueTrainer(Trainer):
             if val_f1 > best_f1:
                 best_f1 = val_f1
                 ckpt.save_best({"params": state.params}, epoch)
-            ckpt.save_step(
-                self._ckpt_payload(state, best_f1, epoch, {"batch": 0}),
-                epoch)
+            # counters update BEFORE the epoch checkpoint (exact resume)
             if opt.patience > 0:
                 if val_loss < best_val_loss:
                     best_val_loss = val_loss
                     patience_counter = 0
                 else:
                     patience_counter += 1
-                    if patience_counter >= opt.patience:
-                        print(f"Validation loss has not descended for "
-                              f"{opt.patience} epochs. Stopping training.")
-                        break
+            ckpt.save_step(
+                self._ckpt_payload(state, best_f1, epoch, {"batch": 0},
+                                   {"best_val_loss": best_val_loss,
+                                    "patience_counter": patience_counter}),
+                epoch)
+            if opt.patience > 0 and patience_counter >= opt.patience:
+                print(f"Validation loss has not descended for "
+                      f"{opt.patience} epochs. Stopping training.")
+                break
 
         self.profiler.close()
         best = ckpt.restore_best({"params": state.params})

@@ -486,3 +486,86 @@ def test_save_step_retention(tmp_path):
         m_all.save_step({"w": np.float32(step)}, step)
     assert len([n for n in os.listdir(tmp_path / "all")
                 if n.startswith("step_")]) == 3
+
+
+def test_restore_latest_falls_back_to_older_checkpoint(tmp_path):
+    """The insurance keep_steps > 1 buys: when the newest resume checkpoint
+    is unreadable (crash corruption outside the atomic swap), restore_latest
+    falls back to the next-newest retained one instead of dying."""
+    import shutil
+
+    import pytest
+
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+
+    d = str(tmp_path / "ckpt")
+    m = CheckpointManager(d, keep_steps=2)
+    m.save_step({"w": np.float32(1)}, 1)
+    m.save_step({"w": np.float32(2)}, 2)
+
+    # corrupt the newest: empty dir (orbax restore fails)
+    shutil.rmtree(os.path.join(d, "step_2"))
+    os.makedirs(os.path.join(d, "step_2"))
+    assert float(m.restore_latest({"w": np.float32(0)})["w"]) == 1.0
+
+    # every retained checkpoint corrupt -> the newest's error propagates
+    shutil.rmtree(os.path.join(d, "step_1"))
+    os.makedirs(os.path.join(d, "step_1"))
+    with pytest.raises(Exception):
+        m.restore_latest({"w": np.float32(0)})
+
+
+def test_save_best_ignores_stray_best_entries(tmp_path):
+    """save_best's supersede scan manages only best_<int> checkpoint DIRS: a
+    user file or artifact that merely starts with 'best_' must be neither
+    rmtree'd (crash on a file) nor deleted."""
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+
+    d = str(tmp_path / "ckpt")
+    m = CheckpointManager(d)
+    m.save_best({"w": np.float32(1)}, 1)
+    stray = os.path.join(d, "best_model_notes.txt")
+    with open(stray, "w") as f:
+        f.write("keep me")
+    m.save_best({"w": np.float32(2)}, 2)  # supersedes best_1, spares the file
+    names = sorted(n for n in os.listdir(d) if n.startswith("best_"))
+    assert names == ["best_2", "best_model_notes.txt"]
+
+
+def test_early_stopping_counters_survive_resume(tmp_path):
+    """Exact-resume contract for early stopping: the {best_val_loss,
+    patience_counter} counters ride the epoch checkpoint, so a resumed run
+    stops at the same epoch an uninterrupted one would instead of resetting
+    its patience budget."""
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+    from facialmmt_tpu.config import FacialMMTConfig, OptimConfig, RuntimeConfig
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+
+    cfg = FacialMMTConfig.tiny().replace(
+        optim=OptimConfig(num_epochs=1, trg_batch_size=4,
+                          trg_accumulation_steps=1),
+        runtime=RuntimeConfig(save_model_path=str(tmp_path / "s"),
+                              compute_dtype="float32", metrics_path=""))
+    t = Trainer(cfg, MetricWriter("", also_print=False))
+    ckpt = CheckpointManager(cfg.runtime.save_model_path)
+
+    state = {"w": np.float32(1.0)}
+    es = {"best_val_loss": 0.25, "patience_counter": 2}
+    ckpt.save_step(t._ckpt_payload(state, 0.5, 4, {"batch": 0}, es), 4)
+
+    state2, bf, start_epoch, prog, es2 = t._restore_latest(
+        ckpt, state, {"batch": 0})
+    assert bf == 0.5 and start_epoch == 5 and prog == {"batch": 0}
+    assert es2 == {"best_val_loss": 0.25, "patience_counter": 2}
+
+    # legacy (pre-round-4) payload: counters fall back to fresh defaults
+    d2 = str(tmp_path / "legacy")
+    old = CheckpointManager(d2)
+    old.save_step({"state": state, "best_f1": 0.3, "epoch": 2}, 2)
+    t2 = Trainer(cfg.replace(runtime=RuntimeConfig(
+        save_model_path=d2, compute_dtype="float32", metrics_path="")),
+        MetricWriter("", also_print=False))
+    _, bf, se, prog, es3 = t2._restore_latest(old, state, {"batch": 0})
+    assert bf == 0.3 and se == 3
+    assert es3 == {"best_val_loss": float("inf"), "patience_counter": 0}
