@@ -30,11 +30,18 @@ from facialmmt_tpu.models.pipeline import FacialMMTPipeline
 class EmotionServer:
     def __init__(self, cfg: FacialMMTConfig, variables: Dict[str, Any],
                  max_batch: int = 8, face_capacity: int = 64,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, transfer_dtype=np.float16):
+        """`transfer_dtype` is the HOST-side wire format for the padded
+        audio/vision feature buffers.  Serving packs are transfer-bound, not
+        compute-bound (BASELINE.md load table: a (32, 256) pack ships ~37 MB,
+        of which audio fp32 alone is 15.4 MB), so the default ships features
+        as fp16 — halving their bytes — and upcasts on device before the
+        model's own bf16 cast.  Pass np.float32 for byte-exact transfers."""
         self.cfg = cfg
         self.max_batch = max_batch
         self.face_capacity = face_capacity
         self.dtype = dtype
+        self.transfer_dtype = transfer_dtype
         self.model = FacialMMTPipeline(cfg, dtype=dtype)
         self.variables = variables
         from facialmmt_tpu.config import resolve_prng_impl
@@ -51,6 +58,10 @@ class EmotionServer:
             faces = meld_face_eval_transform(
                 faces_raw.astype(jnp.float32), img_size=size)
             full = dict(batch)
+            # features ride the wire in transfer_dtype; restore fp32 here so
+            # the model sees the same input dtype as the offline pipeline
+            full["audio_inputs"] = batch["audio_inputs"].astype(jnp.float32)
+            full["vision_feats"] = batch["vision_feats"].astype(jnp.float32)
             full["faces"] = faces.astype(dtype)
             logits = self.model.apply(variables, full, rngs={"gumbel": key})
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -72,10 +83,10 @@ class EmotionServer:
             "dia_idx": np.zeros(b, np.int32),
             "utt_in_dia_idx": np.zeros(b, np.int32),
             "audio_inputs": np.zeros((b, d.audio_utt_max_len,
-                                      d.audio_feat_dim), np.float32),
+                                      d.audio_feat_dim), self.transfer_dtype),
             "audio_mask": np.zeros((b, d.audio_utt_max_len), np.int32),
             "vision_feats": np.zeros((b, d.vision_utt_max_len,
-                                      d.vision_feat_dim), np.float32),
+                                      d.vision_feat_dim), self.transfer_dtype),
             "n_faces": np.zeros(b, np.int32),
             "face_utt_id": np.full(self.face_capacity, -1, np.int32),
             "face_pos": np.zeros(self.face_capacity, np.int32),
@@ -126,12 +137,12 @@ class EmotionServer:
                 batch["utt_in_dia_idx"][j] = req.get("utt_in_dia_idx", 0)
             batch["dia_idx"][j] = j
             if "audio" in req:
-                a = np.asarray(req["audio"], np.float32)
+                a = np.asarray(req["audio"])
                 la = min(a.shape[0], batch["audio_inputs"].shape[1])
-                batch["audio_inputs"][j, :la] = a[:la]
+                batch["audio_inputs"][j, :la] = a[:la]  # casts to wire dtype
                 batch["audio_mask"][j, :la] = 1
             if "vision" in req:
-                v = np.asarray(req["vision"], np.float32)
+                v = np.asarray(req["vision"])
                 lv = min(v.shape[0], batch["vision_feats"].shape[1])
                 batch["vision_feats"][j, :lv] = v[:lv]
             faces = req.get("faces")
@@ -145,11 +156,12 @@ class EmotionServer:
 
                     raise FaceCapacityError(cursor + take, self.face_capacity,
                                             "serving")
-                for t in range(take):
-                    faces_raw[cursor] = faces[t]
-                    batch["face_utt_id"][cursor] = j
-                    batch["face_pos"][cursor] = t
-                    cursor += 1
+                faces_raw[cursor:cursor + take] = np.asarray(
+                    faces[:take], np.uint8)  # one vectorized copy, not a
+                batch["face_utt_id"][cursor:cursor + take] = j  # per-face loop
+                batch["face_pos"][cursor:cursor + take] = np.arange(
+                    take, dtype=np.int32)
+                cursor += take
                 batch["n_faces"][j] = take
         return batch, faces_raw
 

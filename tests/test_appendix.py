@@ -583,3 +583,42 @@ def test_serving_pack_identity_matches_solo(rng):
     front.close()
     for s, o in zip(solo, outs):
         np.testing.assert_allclose(s, o, rtol=1e-5, atol=1e-5)
+
+
+def test_serving_fp16_wire_matches_fp32(rng):
+    """The serving wire format ships audio/vision features as fp16 (packs are
+    transfer-bound — serving.py's transfer_dtype docstring); the device
+    upcasts before the model's own cast, so probabilities must match a
+    float32-wire server to fp16 input-rounding noise."""
+    import dataclasses
+
+    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+    from facialmmt_tpu.serving import EmotionServer
+    from tests.test_models import make_multimodal_batch
+
+    cfg = CFG.replace(runtime=dataclasses.replace(
+        CFG.runtime, deterministic_gumbel=True))
+    batch = make_multimodal_batch(rng, cfg, b=2)
+    model = FacialMMTPipeline(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        batch)
+    d = cfg.data
+
+    reqs = [{
+        "audio": rng.normal(size=(5, d.audio_feat_dim)),
+        "vision": rng.normal(size=(3, d.vision_feat_dim)),
+        "faces": rng.integers(0, 255, (2, 160, 160, 3), dtype=np.uint8),
+        "input_ids": rng.integers(2, cfg.text.vocab_size, size=(20,)),
+        "sep_mask": np.eye(20)[7],
+    } for _ in range(3)]
+
+    s16 = EmotionServer(cfg, variables, max_batch=4, face_capacity=16)
+    s32 = EmotionServer(cfg, variables, max_batch=4, face_capacity=16,
+                        transfer_dtype=np.float32)
+    assert s16._zero_batch()["audio_inputs"].dtype == np.float16
+    assert s32._zero_batch()["audio_inputs"].dtype == np.float32
+    out16 = s16.predict(reqs)
+    out32 = s32.predict(reqs)
+    for a, b in zip(out16, out32):
+        np.testing.assert_allclose(a, b, atol=5e-3, rtol=0)
