@@ -34,15 +34,20 @@ def main():
         _make_batch(cfg, b=2))
     print("params ready", flush=True)
 
+    # `python serving_load.py router` skips the per-bucket rate sweeps and
+    # runs only the router section (the bucket executables still warm once)
+    router_only = len(sys.argv) > 1 and sys.argv[1] == "router"
+    servers = []
     for max_batch, cap, rates in ((1, 12, (5, 10)),
                                   (8, 64, (20, 40, 80)),
                                   (32, 256, (40, 80, 160))):
         t0 = time.perf_counter()
         server = EmotionServer(cfg, variables, max_batch=max_batch,
                                face_capacity=cap)
+        servers.append(server)
         print(f"\nbucket ({max_batch}, {cap}): warm in "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
-        for rate in rates:
+        for rate in rates if not router_only else ():
             stats = benchmark_load(server, rate_utt_per_s=float(rate),
                                    duration_s=12.0, batch_deadline_ms=10.0)
             print(f"  rate {rate:4d}/s -> {stats['achieved_utt_per_s']:7.1f} "
@@ -50,6 +55,20 @@ def main():
                   f"p99 {stats['p99_ms']:7.1f} ms | fill "
                   f"{stats['mean_batch_fill']:.2f} | n={stats['n_requests']}",
                   flush=True)
+
+    # bucket ROUTER: one front-end over all three executables — light load
+    # should see the small bucket's latency, saturation the big bucket's
+    # throughput (AsyncBatchServer router docstring)
+    print("\nbucket router (1,12)+(8,64)+(32,256):", flush=True)
+    for rate in (5, 20, 40, 80, 160):
+        stats = benchmark_load(servers, rate_utt_per_s=float(rate),
+                               duration_s=12.0, batch_deadline_ms=10.0)
+        print(f"  rate {rate:4d}/s -> {stats['achieved_utt_per_s']:7.1f} "
+              f"utt/s | p50 {stats['p50_ms']:7.1f} ms | "
+              f"p99 {stats['p99_ms']:7.1f} ms | fill "
+              f"{stats['mean_batch_fill']:.2f} | "
+              f"buckets {stats.get('bucket_counts')} | "
+              f"n={stats['n_requests']}", flush=True)
 
 
 if __name__ == "__main__":

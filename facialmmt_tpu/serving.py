@@ -191,18 +191,33 @@ class AsyncBatchServer:
     partial pack.  No reference equivalent — serving is this framework's own
     capability (SURVEY.md §2 has no serving row).
 
+    `server` may also be a SEQUENCE of EmotionServers sharing one set of
+    variables (a bucket ROUTER): each drained pack then dispatches on the
+    smallest bucket it fits, so a single front-end serves light load at the
+    small bucket's latency and saturated load at the big bucket's
+    throughput — the static-shape answer to "autoscaling" (each bucket is
+    one pre-compiled executable; routing is a host-side pick, never a
+    recompile).  `bucket_choices` records the (max_batch, face_capacity)
+    chosen per pack.
+
     submit() returns a concurrent.futures.Future resolving to the request's
     probability vector; callers block on .result().  One packer thread owns
-    the TPU executable, so device calls are naturally serialized.
+    the TPU executables, so device calls are naturally serialized.
     """
 
-    def __init__(self, server: EmotionServer, batch_deadline_ms: float = 5.0,
+    def __init__(self, server, batch_deadline_ms: float = 5.0,
                  pipeline_depth: int = 2):
         import collections
         import queue as queue_mod
         import threading
 
-        self.server = server
+        servers = (list(server) if isinstance(server, (list, tuple))
+                   else [server])
+        # smallest-first: the router picks the FIRST bucket that fits a pack
+        self.servers = sorted(
+            servers, key=lambda s: (s.max_batch, s.face_capacity))
+        # the largest bucket bounds the packer's drain loop
+        self.server = self.servers[-1]
         self.deadline = batch_deadline_ms / 1000.0
         # packs in flight on the device before the packer blocks on a
         # readback: JAX dispatch is async, so with depth 2 the NEXT pack's
@@ -214,6 +229,7 @@ class AsyncBatchServer:
         self._holdover = collections.deque()  # didn't fit the last pack
         self._stop = threading.Event()
         self.pack_sizes: list = []  # batch-fill telemetry
+        self.bucket_choices: list = []  # (max_batch, face_capacity) per pack
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -280,9 +296,14 @@ class AsyncBatchServer:
                 pack.append(item)
                 faces += need
             self.pack_sizes.append(len(pack))
+            chosen = next(s for s in self.servers
+                          if len(pack) <= s.max_batch
+                          and faces <= s.face_capacity)
+            self.bucket_choices.append((chosen.max_batch,
+                                        chosen.face_capacity))
             try:
-                batch, faces_raw = self.server.build_pack([r for r, _ in pack])
-                device_probs = self.server.predict_device(batch, faces_raw)
+                batch, faces_raw = chosen.build_pack([r for r, _ in pack])
+                device_probs = chosen.predict_device(batch, faces_raw)
             except Exception as e:  # surface to every waiting caller
                 for _, fut in pack:
                     fut.set_exception(e)
@@ -311,7 +332,7 @@ def benchmark_load(server: EmotionServer, rate_utt_per_s: float,
     front = AsyncBatchServer(server, batch_deadline_ms=batch_deadline_ms)
     rng = np.random.default_rng(seed)
     if make_request is None:
-        d = server.cfg.data
+        d = front.server.cfg.data
         def make_request(i):
             return {
                 "input_ids": np.ones(16, np.int32),
@@ -354,7 +375,7 @@ def benchmark_load(server: EmotionServer, rate_utt_per_s: float,
     wall = time.perf_counter() - t_start
     front.close()
     arr = np.asarray(latencies) * 1000
-    return {
+    stats = {
         "offered_rate": rate_utt_per_s,
         "achieved_utt_per_s": len(latencies) / wall,
         "p50_ms": float(np.percentile(arr, 50)),
@@ -362,3 +383,10 @@ def benchmark_load(server: EmotionServer, rate_utt_per_s: float,
         "mean_batch_fill": float(np.mean(front.pack_sizes)),
         "n_requests": len(latencies),
     }
+    if len(front.servers) > 1:  # bucket-router telemetry
+        from collections import Counter
+
+        stats["bucket_counts"] = {
+            f"{mb},{cap}": n for (mb, cap), n in sorted(
+                Counter(front.bucket_choices).items())}
+    return stats

@@ -622,3 +622,51 @@ def test_serving_fp16_wire_matches_fp32(rng):
     out32 = s32.predict(reqs)
     for a, b in zip(out16, out32):
         np.testing.assert_allclose(a, b, atol=5e-3, rtol=0)
+
+
+def test_serving_bucket_router(rng):
+    """AsyncBatchServer over a LIST of servers routes each pack to the
+    smallest bucket that fits it (serving.py router docstring): a lone light
+    request runs the small executable, a burst or a face-heavy request the
+    big one, and every answer still matches the solo prediction."""
+    import dataclasses
+
+    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+    from facialmmt_tpu.serving import AsyncBatchServer, EmotionServer
+    from tests.test_models import make_multimodal_batch
+
+    cfg = CFG.replace(runtime=dataclasses.replace(
+        CFG.runtime, deterministic_gumbel=True))
+    batch = make_multimodal_batch(rng, cfg, b=2)
+    model = FacialMMTPipeline(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        batch)
+    d = cfg.data
+
+    small = EmotionServer(cfg, variables, max_batch=1, face_capacity=4)
+    big = EmotionServer(cfg, variables, max_batch=4, face_capacity=16)
+    front = AsyncBatchServer([big, small], batch_deadline_ms=100.0)
+    assert front.server is big  # largest bucket bounds the drain loop
+
+    light = {"audio": rng.normal(size=(5, d.audio_feat_dim))}
+    heavy = {"faces": rng.integers(0, 255, (6, 160, 160, 3), dtype=np.uint8)}
+
+    out_light = front.submit(light).result(timeout=60)
+    # a 6-face request exceeds the small bucket's capacity alone
+    out_heavy = front.submit(heavy).result(timeout=60)
+    # a burst exceeds the small bucket's max_batch
+    burst = [dict(light) for _ in range(4)]
+    outs = [f.result(timeout=60) for f in [front.submit(r) for r in burst]]
+    front.close()
+
+    assert front.bucket_choices[0] == (1, 4)
+    assert front.bucket_choices[1] == (4, 16)
+    assert (4, 16) in front.bucket_choices[2:]
+
+    np.testing.assert_allclose(out_light, small.predict([light])[0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_heavy, big.predict([heavy])[0],
+                               rtol=1e-5, atol=1e-5)
+    for o in outs:  # same weights in every bucket -> same math
+        np.testing.assert_allclose(o, out_light, rtol=1e-5, atol=1e-5)
