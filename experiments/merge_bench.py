@@ -36,38 +36,17 @@ def timed(run, n=ITERS):
     return best * 1e3
 
 
-def merge_gather_index(sh, sw, ws_s, ws_n):
-    """Static row map: output row j of the NEXT stage's window-resident
-    (L/4, 4C) concat layout pulls rows [g0, g1, g2, g3] of the CURRENT
-    stage's window-resident layout (concat along channels in x0,x1,x2,x3
-    order — reference Swin_Transformer.py:291-328 semantics)."""
-    import numpy as np
-
-    from facialmmt_tpu.ops.swin import _window_layout_index
-
-    nh, nw = sh // 2, sw // 2
-    cur = _window_layout_index(sh, sw, ws_s).flatten()   # raster -> wr row
-    nxt = _window_layout_index(nh, nw, ws_n).flatten()   # merged raster -> wr
-    raster_of_next = np.empty(nh * nw, np.int64)
-    raster_of_next[nxt] = np.arange(nh * nw)             # wr row -> raster
-    out = np.empty((nh * nw, 4), np.int32)
-    for j in range(nh * nw):
-        i, k = divmod(int(raster_of_next[j]), nw)
-        r0, c0 = 2 * i, 2 * k
-        # concat order x0=(0,0), x1=(1,0), x2=(0,1), x3=(1,1)
-        for t, (dr, dc) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
-            out[j, t] = cur[(r0 + dr) * sw + (c0 + dc)]
-    return out
-
-
 def main(faces=256):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from facialmmt_tpu.config import SwinConfig
-    from facialmmt_tpu.ops.swin import (PatchMerging, window_partition,
-                                        window_reverse)
+    # measure the PRODUCTION gather index (its equivalence to the module
+    # chain is pinned by tests/test_swin_layout.py), not a local re-derivation
+    # that could drift from what the model actually runs
+    from facialmmt_tpu.ops.swin import (PatchMerging, merge_gather_index,
+                                        window_partition, window_reverse)
 
     print("backend:", jax.default_backend(), flush=True)
     cfg = SwinConfig()

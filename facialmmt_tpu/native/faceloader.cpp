@@ -61,9 +61,12 @@ bool decode_jpeg_bgr(const char* path, std::vector<unsigned char>* out,
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
-#ifdef JCS_EXT_BGR
+#if defined(JCS_EXTENSIONS)
   // libjpeg-turbo: decode straight to BGR (cv2.imread parity) — skips the
-  // per-pixel channel swap below entirely
+  // per-pixel channel swap below entirely.  JCS_EXT_BGR itself is an ENUM
+  // constant, not a macro, so `#ifdef JCS_EXT_BGR` is always false; the
+  // feature-test macro libjpeg-turbo provides is JCS_EXTENSIONS
+  // (jpeglib.h: "#define JCS_EXTENSIONS 1").
   cinfo.out_color_space = JCS_EXT_BGR;
 #else
   cinfo.out_color_space = JCS_RGB;
@@ -74,7 +77,7 @@ bool decode_jpeg_bgr(const char* path, std::vector<unsigned char>* out,
   const int h = cinfo.output_height;
   const int stride = w * 3;
   out->resize(static_cast<size_t>(h) * stride);
-#ifdef JCS_EXT_BGR
+#if defined(JCS_EXTENSIONS)
   for (int y = 0; y < h; ++y) {
     unsigned char* dst = out->data() + static_cast<size_t>(y) * stride;
     jpeg_read_scanlines(&cinfo, &dst, 1);

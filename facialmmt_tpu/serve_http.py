@@ -110,9 +110,13 @@ def make_handler(app: ServingApp):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                self._reply(200, app.predict(payload))
+                code, obj = 200, app.predict(payload)
             except Exception as e:  # surface as a 400, keep serving
-                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                code, obj = 400, {"error": f"{type(e).__name__}: {e}"}
+            try:  # reply OUTSIDE the handler try: a client that hung up
+                self._reply(code, obj)  # mid-write must not trigger a second
+            except (BrokenPipeError, ConnectionResetError):  # status line
+                pass
 
         def log_message(self, fmt, *args):  # quiet: telemetry via /stats
             pass
@@ -132,6 +136,23 @@ def serve(front, host: str = "127.0.0.1", port: int = 8756,
     else:
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd, app
+
+
+def load_serving_variables(variables: Dict[str, Any],
+                           checkpoint_dir: str) -> Dict[str, Any]:
+    """Graft the best checkpoint under `checkpoint_dir` onto init-shaped
+    `variables`.  Template-free restore: multimodal-trainer bests store
+    {params, batch_stats} (trainer.py run_multimodal save_best — Swin's head
+    BatchNorm statistics live in batch_stats, and serving random-init stats
+    would corrupt every probability) while text/dialogue bests store {params}
+    only — graft whatever is present."""
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+
+    restored = CheckpointManager(checkpoint_dir).restore_best()
+    variables = dict(variables, params=restored["params"])
+    if "batch_stats" in restored:
+        variables["batch_stats"] = restored["batch_stats"]
+    return variables
 
 
 def _build_front(cfg, variables, buckets: Sequence[Tuple[int, int]],
@@ -189,11 +210,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
         batch)
     if args.checkpoint:
-        from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
-
-        restored = CheckpointManager(args.checkpoint).restore_best(
-            {"params": variables["params"]})  # trainer bests store {params}
-        variables = dict(variables, params=restored["params"])
+        variables = load_serving_variables(variables, args.checkpoint)
 
     buckets = [tuple(int(x) for x in b.split(",")) for b in args.buckets]
     front = _build_front(cfg, variables, buckets, args.batch_deadline_ms)

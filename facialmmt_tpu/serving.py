@@ -147,10 +147,9 @@ class EmotionServer:
                 batch["vision_feats"][j, :lv] = v[:lv]
             faces = req.get("faces")
             if faces is not None:
-                # per-utterance cap mirrors the reference's face-list
-                # truncation (utils/dataset.py:278-279); exceeding the
-                # server's packed buffer is an ERROR, not a silent drop
-                take = min(len(faces), self.cfg.data.vision_utt_max_len)
+                # exceeding the server's packed buffer is an ERROR, not a
+                # silent drop
+                take = self.face_take(faces)
                 if cursor + take > self.face_capacity:
                     from facialmmt_tpu.data.meld import FaceCapacityError
 
@@ -164,6 +163,15 @@ class EmotionServer:
                 cursor += take
                 batch["n_faces"][j] = take
         return batch, faces_raw
+
+    def face_take(self, faces) -> int:
+        """How many of a request's face crops enter the pack.  The
+        per-utterance cap mirrors the reference's face-list truncation
+        (reference utils/dataset.py:278-279).  Single source of truth for
+        both build_pack's copy and AsyncBatchServer's capacity accounting —
+        the two must agree or the packer would assemble packs build_pack
+        rejects."""
+        return min(len(faces), self.cfg.data.vision_utt_max_len)
 
     def benchmark_latency(self, iters: int = 20) -> Dict[str, float]:
         batch = self._zero_batch()
@@ -237,10 +245,16 @@ class AsyncBatchServer:
         from concurrent.futures import Future
 
         fut: Future = Future()
+        if self._stop.is_set():
+            fut.set_exception(RuntimeError("AsyncBatchServer is closed"))
+            return fut
         self._q.put((request, fut))
         return fut
 
     def close(self):
+        """Stop the packer.  In-flight packs resolve normally; requests still
+        queued (or submitted after close) fail with RuntimeError rather than
+        stranding their futures until the caller's timeout."""
         self._stop.set()
         self._thread.join(timeout=5.0)
 
@@ -248,7 +262,7 @@ class AsyncBatchServer:
         faces = request.get("faces")
         if faces is None:
             return 0
-        return min(len(faces), self.server.cfg.data.vision_utt_max_len)
+        return self.server.face_take(faces)
 
     def _next_item(self, timeout):
         import queue as queue_mod
@@ -296,9 +310,22 @@ class AsyncBatchServer:
                 pack.append(item)
                 faces += need
             self.pack_sizes.append(len(pack))
-            chosen = next(s for s in self.servers
-                          if len(pack) <= s.max_batch
-                          and faces <= s.face_capacity)
+            chosen = next((s for s in self.servers
+                           if len(pack) <= s.max_batch
+                           and faces <= s.face_capacity), None)
+            if chosen is None:
+                # only reachable when a SINGLE request's face count exceeds
+                # every bucket's packed-face buffer (the drain loop already
+                # bounds multi-request packs to the largest bucket): fail that
+                # request the way the serial path does and keep serving —
+                # a raise here would kill the packer thread and strand every
+                # later caller
+                from facialmmt_tpu.data.meld import FaceCapacityError
+
+                for _, fut in pack:
+                    fut.set_exception(FaceCapacityError(
+                        faces, self.server.face_capacity, "serving"))
+                continue
             self.bucket_choices.append((chosen.max_batch,
                                         chosen.face_capacity))
             try:
@@ -318,6 +345,20 @@ class AsyncBatchServer:
                 self._resolve(*inflight.popleft())
         while inflight:
             self._resolve(*inflight.popleft())
+        # fail, don't strand, anything still queued at close(): an unresolved
+        # future makes its caller wait out the FULL result() timeout
+        import queue as queue_mod
+
+        leftovers = list(self._holdover)
+        self._holdover.clear()
+        while True:
+            try:
+                leftovers.append(self._q.get_nowait())
+            except queue_mod.Empty:
+                break
+        for _, fut in leftovers:
+            fut.set_exception(RuntimeError("AsyncBatchServer closed with "
+                                           "the request still queued"))
 
 
 def benchmark_load(server: EmotionServer, rate_utt_per_s: float,

@@ -205,11 +205,27 @@ class Trainer:
         return np.asarray(jax.random.key_data(self.rng))
 
     def _restore_rng(self, data) -> None:
+        """Re-wrap a checkpointed key.  The key data's width is tied to the
+        impl it was SAVED under (threefry2x32: (2,), rbg: (4,)), which can
+        differ from what this host resolves — e.g. a TPU run ('auto' -> rbg)
+        resumed on CPU ('auto' -> threefry).  A key carries its impl, so
+        wrapping with the saved impl continues the exact stream on any
+        backend; trying the resolved impl first keeps the common same-backend
+        resume byte-identical to the old behavior."""
         from facialmmt_tpu.config import resolve_prng_impl
 
-        self.rng = jax.random.wrap_key_data(
-            jnp.asarray(np.asarray(data)),
-            impl=resolve_prng_impl(self.cfg))
+        data = jnp.asarray(np.asarray(data))
+        impls = [resolve_prng_impl(self.cfg), "threefry2x32", "rbg"]
+        err: Optional[Exception] = None
+        for impl in impls:
+            try:
+                self.rng = jax.random.wrap_key_data(data, impl=impl)
+                return
+            except Exception as e:
+                err = err or e
+        raise ValueError(
+            f"checkpointed PRNG key data of shape {data.shape} matches no "
+            f"known impl ({impls})") from err
 
     def _ckpt_payload(self, state, best_f1: float, epoch: int,
                       progress: Dict[str, int],
@@ -243,16 +259,12 @@ class Trainer:
         try:
             latest = ckpt.restore_latest(
                 self._ckpt_payload(state, -1.0, 0, progress_zero))
-            if latest is None:
-                return state, None, 1, dict(progress_zero), early_stop
-            self._restore_rng(latest["rng"])
-            progress = {k: int(latest["progress"][k]) for k in progress_zero}
-            es = latest.get("early_stop", {})
-            early_stop = {
-                "best_val_loss": float(es["best_val_loss"]),
-                "patience_counter": int(es["patience_counter"]),
-            } if es else early_stop
         except Exception as e:
+            # only the orbax RESTORE falls back: a template mismatch here
+            # means a pre-round-4 checkpoint dir, which the legacy template
+            # can parse.  (Post-restore processing failures must NOT land
+            # here — the legacy template cannot parse a new-format dir, so
+            # the retry would abort the resume entirely.)
             print(f"WARNING: new-format resume restore failed "
                   f"({type(e).__name__}: {e}); retrying with the legacy "
                   f"payload — resume will be INEXACT (the interrupted "
@@ -262,6 +274,25 @@ class Trainer:
             if latest is None:
                 return state, None, 1, dict(progress_zero), early_stop
             progress = dict(progress_zero)
+        else:
+            if latest is None:
+                return state, None, 1, dict(progress_zero), early_stop
+            try:
+                self._restore_rng(latest["rng"])
+            except Exception as e:
+                # resume everything else exactly; forking only the stream
+                # beats aborting (and beats the legacy retry, which cannot
+                # parse this dir)
+                print(f"WARNING: checkpointed PRNG key could not be "
+                      f"restored ({type(e).__name__}: {e}); continuing with "
+                      f"this run's fresh key — the dropout/gumbel stream "
+                      f"FORKS from the interrupted run")
+            progress = {k: int(latest["progress"][k]) for k in progress_zero}
+            es = latest.get("early_stop", {})
+            early_stop = {
+                "best_val_loss": float(es["best_val_loss"]),
+                "patience_counter": int(es["patience_counter"]),
+            } if es else early_stop
         state = self._place_state(jax.tree.map(jnp.asarray, latest["state"]))
         return (state, float(latest["best_f1"]), int(latest["epoch"]) + 1,
                 progress, early_stop)

@@ -2,6 +2,7 @@
 pred/true dump, early stopping, serving path."""
 
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -670,3 +671,89 @@ def test_serving_bucket_router(rng):
                                rtol=1e-5, atol=1e-5)
     for o in outs:  # same weights in every bucket -> same math
         np.testing.assert_allclose(o, out_light, rtol=1e-5, atol=1e-5)
+
+
+def test_serving_oversized_request_fails_its_own_future(rng):
+    """A single request whose face count exceeds EVERY bucket's packed-face
+    buffer must fail its own future with FaceCapacityError — the packer
+    thread must survive it (an uncaught raise there would permanently hang
+    all later requests), and requests submitted after close() must fail fast
+    instead of stranding their futures (review r4)."""
+    import pytest
+
+    from facialmmt_tpu.data.meld import FaceCapacityError
+    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+    from facialmmt_tpu.serving import AsyncBatchServer, EmotionServer
+    from tests.test_models import make_multimodal_batch
+
+    cfg = CFG
+    batch = make_multimodal_batch(rng, cfg, b=2)
+    model = FacialMMTPipeline(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        batch)
+    d = cfg.data
+
+    # face_capacity (4) < vision_utt_max_len (6): a 6-face request fits
+    # no bucket even alone
+    server = EmotionServer(cfg, variables, max_batch=2, face_capacity=4)
+    front = AsyncBatchServer(server, batch_deadline_ms=50.0)
+    big = {"faces": rng.integers(0, 255, (6, 160, 160, 3), dtype=np.uint8)}
+    with pytest.raises(FaceCapacityError):
+        front.submit(big).result(timeout=30)
+    # the packer survived: a well-sized request is still served
+    ok = front.submit(
+        {"audio": rng.normal(size=(4, d.audio_feat_dim))}).result(timeout=30)
+    assert ok.shape == (7,)
+    front.close()
+    with pytest.raises(RuntimeError):
+        front.submit(
+            {"audio": rng.normal(size=(4, d.audio_feat_dim))}).result(
+                timeout=30)
+
+
+def test_serving_close_fails_queued_requests():
+    """close() resolves in-flight packs but FAILS requests still queued —
+    stranding an unresolved future makes its caller wait out the full
+    result() timeout (review r4).  Uses a stub server whose readback blocks
+    so requests deterministically pile up behind one in-flight pack."""
+    import threading
+
+    import pytest
+
+    from facialmmt_tpu.serving import AsyncBatchServer
+
+    release = threading.Event()
+
+    class _BlockingProbs:
+        def __array__(self, dtype=None, copy=None):
+            release.wait(timeout=30)
+            return np.ones((1, 7), np.float32)
+
+    class _StubServer:
+        max_batch = 1
+        face_capacity = 4
+
+        def face_take(self, faces):
+            return min(len(faces), 6)
+
+        def build_pack(self, reqs):
+            return {}, None
+
+        def predict_device(self, batch, faces_raw):
+            return _BlockingProbs()
+
+    front = AsyncBatchServer(_StubServer(), batch_deadline_ms=1.0,
+                             pipeline_depth=1)
+    f1 = front.submit({})
+    while not front.pack_sizes:  # packer dispatched f1, now blocked on its
+        time.sleep(0.005)        # readback (depth 1 resolves immediately)
+    f2, f3 = front.submit({}), front.submit({})
+    front._stop.set()  # close() would join; order stop THEN release so the
+    release.set()      # packer can't start a new pack with f2
+    front._thread.join(timeout=10)
+    assert not front._thread.is_alive()
+    assert f1.result(timeout=1).shape == (7,)  # in-flight pack resolved
+    for f in (f2, f3):
+        with pytest.raises(RuntimeError):
+            f.result(timeout=1)

@@ -569,3 +569,43 @@ def test_early_stopping_counters_survive_resume(tmp_path):
     _, bf, se, prog, es3 = t2._restore_latest(old, state, {"batch": 0})
     assert bf == 0.3 and se == 3
     assert es3 == {"best_val_loss": float("inf"), "patience_counter": 0}
+
+
+def test_resume_prng_key_cross_impl(tmp_path):
+    """A checkpoint written under one PRNG impl resumes the EXACT stream on a
+    host that resolves another (a TPU run, 'auto' -> rbg, resumed on CPU,
+    'auto' -> threefry): keys carry their impl, so _restore_rng re-wraps with
+    the impl matching the saved key data's width (review r4 — previously this
+    crashed, and the legacy-retry fallback aborted the whole resume)."""
+    import jax
+
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+    from facialmmt_tpu.config import FacialMMTConfig, OptimConfig, RuntimeConfig
+    from facialmmt_tpu.train.trainer import Trainer
+    from facialmmt_tpu.utils.observability import MetricWriter
+
+    cfg = FacialMMTConfig.tiny().replace(
+        optim=OptimConfig(num_epochs=1, trg_batch_size=4,
+                          trg_accumulation_steps=1),
+        runtime=RuntimeConfig(save_model_path=str(tmp_path / "s"),
+                              compute_dtype="float32", metrics_path=""))
+    t = Trainer(cfg, MetricWriter("", also_print=False))
+
+    # this CPU host resolves threefry; the "interrupted TPU run" used rbg
+    tpu_key = jax.random.key(7, impl="rbg")
+    t._restore_rng(np.asarray(jax.random.key_data(tpu_key)))
+    want = jax.random.uniform(jax.random.split(tpu_key)[0], (4,))
+    got = jax.random.uniform(jax.random.split(t.rng)[0], (4,))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    # and through the full checkpoint round-trip
+    ckpt = CheckpointManager(cfg.runtime.save_model_path)
+    t.rng = tpu_key
+    ckpt.save_step(t._ckpt_payload({"w": np.float32(1)}, 0.5, 1,
+                                   {"batch": 3}), 1)
+    t2 = Trainer(cfg, MetricWriter("", also_print=False))
+    _, bf, se, prog, _ = t2._restore_latest(ckpt, {"w": np.float32(1)},
+                                            {"batch": 0})
+    assert bf == 0.5 and se == 2 and prog == {"batch": 3}
+    got2 = jax.random.uniform(jax.random.split(t2.rng)[0], (4,))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got2))

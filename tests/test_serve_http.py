@@ -109,6 +109,36 @@ def test_stats_reports_packs_and_buckets(http_front):
     assert sum(body["bucket_counts"].values()) == body["n_packs"]
 
 
+def test_load_serving_variables_grafts_batch_stats(tmp_path):
+    """--checkpoint must load MULTIMODAL-trainer bests, which store
+    {params, batch_stats} (Swin head BatchNorm statistics live in
+    batch_stats — serving random-init stats would corrupt every
+    probability), as well as {params}-only text/dialogue bests
+    (review r4: the old {params} template crashed on the former)."""
+    from facialmmt_tpu.checkpoint.orbax_io import CheckpointManager
+    from facialmmt_tpu.serve_http import load_serving_variables
+
+    init_vars = {"params": {"w": np.zeros(3, np.float32)},
+                 "batch_stats": {"bn": {"mean": np.zeros(2, np.float32)}}}
+
+    mm_dir = str(tmp_path / "mm")
+    CheckpointManager(mm_dir).save_best(
+        {"params": {"w": np.ones(3, np.float32)},
+         "batch_stats": {"bn": {"mean": np.full(2, 5.0, np.float32)}}}, 3)
+    out = load_serving_variables(init_vars, mm_dir)
+    np.testing.assert_array_equal(out["params"]["w"], np.ones(3))
+    np.testing.assert_array_equal(out["batch_stats"]["bn"]["mean"],
+                                  np.full(2, 5.0))
+
+    txt_dir = str(tmp_path / "txt")
+    CheckpointManager(txt_dir).save_best(
+        {"params": {"w": np.full(3, 2.0, np.float32)}}, 1)
+    out2 = load_serving_variables(init_vars, txt_dir)
+    np.testing.assert_array_equal(out2["params"]["w"], np.full(3, 2.0))
+    np.testing.assert_array_equal(out2["batch_stats"]["bn"]["mean"],
+                                  np.zeros(2))  # init stats kept
+
+
 def test_error_surfaces(http_front):
     url, _, _ = http_front
     with pytest.raises(urllib.error.HTTPError) as e:
