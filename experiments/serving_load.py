@@ -35,8 +35,12 @@ def main():
     print("params ready", flush=True)
 
     # `python serving_load.py router` skips the per-bucket rate sweeps and
-    # runs only the router section (the bucket executables still warm once)
-    router_only = len(sys.argv) > 1 and sys.argv[1] == "router"
+    # runs only the router section (the bucket executables still warm once);
+    # `routerab` additionally A/Bs the boundary policies back-to-back at each
+    # rate — paired within one process so tunnel-speed drift (which can be
+    # 2-3x day-to-day) cancels out of the comparison
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    router_only = mode in ("router", "routerab")
     servers = []
     for max_batch, cap, rates in ((1, 12, (5, 10)),
                                   (8, 64, (20, 40, 80)),
@@ -60,15 +64,20 @@ def main():
     # should see the small bucket's latency, saturation the big bucket's
     # throughput (AsyncBatchServer router docstring)
     print("\nbucket router (1,12)+(8,64)+(32,256):", flush=True)
-    for rate in (5, 20, 40, 80, 160):
-        stats = benchmark_load(servers, rate_utt_per_s=float(rate),
-                               duration_s=12.0, batch_deadline_ms=10.0)
-        print(f"  rate {rate:4d}/s -> {stats['achieved_utt_per_s']:7.1f} "
-              f"utt/s | p50 {stats['p50_ms']:7.1f} ms | "
-              f"p99 {stats['p99_ms']:7.1f} ms | fill "
-              f"{stats['mean_batch_fill']:.2f} | "
-              f"buckets {stats.get('bucket_counts')} | "
-              f"n={stats['n_requests']}", flush=True)
+    policies = ("backlog", "greedy") if mode == "routerab" else ("backlog",)
+    for i, rate in enumerate((5, 20, 40, 80, 160)):
+        # alternate A/B order per rate so warm-drift cancels pairwise
+        for policy in (policies if i % 2 == 0 else policies[::-1]):
+            stats = benchmark_load(servers, rate_utt_per_s=float(rate),
+                                   duration_s=12.0, batch_deadline_ms=10.0,
+                                   boundary_policy=policy)
+            print(f"  rate {rate:4d}/s {policy:8s} -> "
+                  f"{stats['achieved_utt_per_s']:7.1f} "
+                  f"utt/s | p50 {stats['p50_ms']:7.1f} ms | "
+                  f"p99 {stats['p99_ms']:7.1f} ms | fill "
+                  f"{stats['mean_batch_fill']:.2f} | "
+                  f"buckets {stats.get('bucket_counts')} | "
+                  f"n={stats['n_requests']}", flush=True)
 
 
 if __name__ == "__main__":

@@ -205,8 +205,11 @@ class AsyncBatchServer:
     small bucket's latency and saturated load at the big bucket's
     throughput — the static-shape answer to "autoscaling" (each bucket is
     one pre-compiled executable; routing is a host-side pick, never a
-    recompile).  `bucket_choices` records the (max_batch, face_capacity)
-    chosen per pack.
+    recompile).  Packs grow past a bucket boundary only when the waiting
+    backlog can fill the larger executable (see the escalation rule in
+    `_run`) — mid-range load therefore rides the mid bucket's latency
+    instead of stalling behind under-filled big-bucket steps.
+    `bucket_choices` records the (max_batch, face_capacity) chosen per pack.
 
     submit() returns a concurrent.futures.Future resolving to the request's
     probability vector; callers block on .result().  One packer thread owns
@@ -214,7 +217,7 @@ class AsyncBatchServer:
     """
 
     def __init__(self, server, batch_deadline_ms: float = 5.0,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, boundary_policy: str = "backlog"):
         import collections
         import queue as queue_mod
         import threading
@@ -233,6 +236,12 @@ class AsyncBatchServer:
         # device compute (measured: lifts the saturated (32,256) bucket
         # ~1.5x over the serial packer — BASELINE.md load table)
         self.pipeline_depth = max(1, pipeline_depth)
+        # 'backlog': grow a pack past a bucket boundary only when the waiting
+        # backlog can fill the larger executable (see _run); 'greedy': always
+        # fill toward the largest bucket (the pre-round-4b behavior, kept for
+        # A/B measurement — experiments/serving_load.py routerab)
+        assert boundary_policy in ("backlog", "greedy")
+        self.boundary_policy = boundary_policy
         self._q: "queue_mod.Queue" = queue_mod.Queue()
         self._holdover = collections.deque()  # didn't fit the last pack
         self._stop = threading.Event()
@@ -263,6 +272,12 @@ class AsyncBatchServer:
         if faces is None:
             return 0
         return self.server.face_take(faces)
+
+    def _bucket_for(self, n: int, faces: int):
+        """Smallest bucket fitting a pack of `n` requests / `faces` face
+        slots; None when even the largest doesn't fit."""
+        return next((s for s in self.servers
+                     if n <= s.max_batch and faces <= s.face_capacity), None)
 
     def _next_item(self, timeout):
         import queue as queue_mod
@@ -307,12 +322,27 @@ class AsyncBatchServer:
                 if faces + need > self.server.face_capacity:
                     self._holdover.append(item)  # leads the next pack
                     break
+                b_cur = self._bucket_for(len(pack), faces)
+                b_new = self._bucket_for(len(pack) + 1, faces + need)
+                if (self.boundary_policy == "backlog"
+                        and b_cur is not None and b_new is not b_cur):
+                    # bucket boundary: the larger executable only earns its
+                    # step time dispatched (nearly) full.  Escalate only when
+                    # the backlog can fill it; otherwise dispatch the
+                    # smaller, FASTER executable now and let this item lead
+                    # the next pack.  Without this, one transient backlog
+                    # spike at mid-range load flips the router into the
+                    # big-bucket regime and keeps it there (head-of-line:
+                    # shallow queues kept stalling behind ~1.2 s big-bucket
+                    # steps — BASELINE.md router table, rate 20).
+                    backlog = self._q.qsize() + len(self._holdover)
+                    if backlog < b_new.max_batch - len(pack) - 1:
+                        self._holdover.append(item)
+                        break
                 pack.append(item)
                 faces += need
             self.pack_sizes.append(len(pack))
-            chosen = next((s for s in self.servers
-                           if len(pack) <= s.max_batch
-                           and faces <= s.face_capacity), None)
+            chosen = self._bucket_for(len(pack), faces)
             if chosen is None:
                 # only reachable when a SINGLE request's face count exceeds
                 # every bucket's packed-face buffer (the drain loop already
@@ -364,13 +394,15 @@ class AsyncBatchServer:
 def benchmark_load(server: EmotionServer, rate_utt_per_s: float,
                    duration_s: float = 10.0, seed: int = 0,
                    batch_deadline_ms: float = 5.0,
-                   make_request=None) -> Dict[str, float]:
+                   make_request=None,
+                   boundary_policy: str = "backlog") -> Dict[str, float]:
     """Drive an AsyncBatchServer with Poisson arrivals at `rate_utt_per_s`
     for `duration_s`, and report achieved throughput + end-to-end request
     latency (queue wait + packing deadline + device step) + batch fill."""
     import threading
 
-    front = AsyncBatchServer(server, batch_deadline_ms=batch_deadline_ms)
+    front = AsyncBatchServer(server, batch_deadline_ms=batch_deadline_ms,
+                             boundary_policy=boundary_policy)
     rng = np.random.default_rng(seed)
     if make_request is None:
         d = front.server.cfg.data

@@ -712,6 +712,59 @@ def test_serving_oversized_request_fails_its_own_future(rng):
                 timeout=30)
 
 
+def test_serving_router_backlog_justified_escalation():
+    """A pack grows past a bucket boundary ONLY when the waiting backlog can
+    fill the larger executable; a shallow backlog dispatches the smaller,
+    faster bucket and the overflow item leads the next pack.  Prevents one
+    transient spike at mid-range load from flipping the router into (and
+    keeping it in) the slow big-bucket regime (BASELINE.md router table,
+    rate 20)."""
+    import threading
+
+    from facialmmt_tpu.serving import AsyncBatchServer
+
+    release = threading.Event()
+
+    class _Probs:
+        def __array__(self, dtype=None, copy=None):
+            release.wait(timeout=30)
+            return np.ones((8, 7), np.float32)
+
+    def stub(mb, cap):
+        class _Stub:
+            max_batch, face_capacity = mb, cap
+
+            def face_take(self, faces):
+                return min(len(faces), 6)
+
+            def build_pack(self, reqs):
+                return {}, None
+
+            def predict_device(self, batch, faces_raw):
+                return _Probs()
+        return _Stub()
+
+    def run(n_queued):
+        release.clear()
+        front = AsyncBatchServer([stub(2, 4), stub(8, 16)],
+                                 batch_deadline_ms=1.0, pipeline_depth=1)
+        futs = [front.submit({})]
+        while not front.pack_sizes:  # packer blocked on pack 1's readback
+            time.sleep(0.005)
+        futs += [front.submit({}) for _ in range(n_queued)]
+        release.set()
+        for f in futs:
+            f.result(timeout=30)
+        front.close()
+        return front.bucket_choices
+
+    # backlog 3 after the first drained pair: cannot fill the 8-bucket ->
+    # stay on the small executable, three packs of <=2
+    assert all(mb == 2 for mb, _ in run(4)[1:])
+    # backlog that fills the big bucket -> escalate past the boundary
+    assert any(mb == 8 for mb, _ in run(8)[1:])
+
+
 def test_serving_close_fails_queued_requests():
     """close() resolves in-flight packs but FAILS requests still queued —
     stranding an unresolved future makes its caller wait out the full
