@@ -11,6 +11,13 @@ Variable-size requests are padded into the static shapes on host:
   * up to `max_batch` utterances per call;
   * up to `face_capacity` face crops, packed contiguously;
   * missing modalities zero-masked.
+
+Serving scales past one chip the same way training does: pass a
+`parallel.mesh.MeshPlan` and the SAME fixed-shape executable runs SPMD over
+the dp x tp mesh — params placed by the tensor-parallel rules, every pack
+data-sharded on its leading axis, XLA inserting the collectives.  Routing,
+packing, and the bucket front-end are unchanged: a mesh is a property of one
+executable, not of the serving topology.
 """
 
 from __future__ import annotations
@@ -30,19 +37,41 @@ from facialmmt_tpu.models.pipeline import FacialMMTPipeline
 class EmotionServer:
     def __init__(self, cfg: FacialMMTConfig, variables: Dict[str, Any],
                  max_batch: int = 8, face_capacity: int = 64,
-                 dtype=jnp.bfloat16, transfer_dtype=np.float16):
+                 dtype=jnp.bfloat16, transfer_dtype=np.float16,
+                 mesh_plan=None):
         """`transfer_dtype` is the HOST-side wire format for the padded
         audio/vision feature buffers.  Serving packs are transfer-bound, not
         compute-bound (BASELINE.md load table: a (32, 256) pack ships ~37 MB,
         of which audio fp32 alone is 15.4 MB), so the default ships features
         as fp16 — halving their bytes — and upcasts on device before the
-        model's own bf16 cast.  Pass np.float32 for byte-exact transfers."""
+        model's own bf16 cast.  Pass np.float32 for byte-exact transfers.
+
+        `mesh_plan` (parallel.mesh.MeshPlan, optional): run the inference
+        executable SPMD over the plan's dp x tp mesh — params placed by the
+        tensor-parallel rules (text tower / fusion towers / crossmodal
+        kernels shard over 'model', the rest replicates), packs data-sharded
+        on their leading axes.  max_batch and face_capacity must divide dp so
+        every device holds equal slices of the static shapes."""
         self.cfg = cfg
         self.max_batch = max_batch
         self.face_capacity = face_capacity
         self.dtype = dtype
         self.transfer_dtype = transfer_dtype
         self.model = FacialMMTPipeline(cfg, dtype=dtype)
+        self.mesh_plan = mesh_plan
+        if mesh_plan is not None:
+            from facialmmt_tpu.parallel.mesh import param_shardings, replicate
+
+            dp = mesh_plan.mesh.shape[mesh_plan.data_axis]
+            assert max_batch % dp == 0 and face_capacity % dp == 0, (
+                f"max_batch ({max_batch}) and face_capacity "
+                f"({face_capacity}) must divide dp ({dp})")
+            rep = replicate(mesh_plan)
+            shardings = {
+                k: (param_shardings(mesh_plan, v) if k == "params"
+                    else jax.tree.map(lambda _: rep, v))
+                for k, v in variables.items()}
+            variables = jax.device_put(variables, shardings)
         self.variables = variables
         from facialmmt_tpu.config import resolve_prng_impl
 
@@ -100,6 +129,15 @@ class EmotionServer:
         pack's transfer+compute before blocking on this one — the
         AsyncBatchServer pipeline depends on this split."""
         self._rng, key = jax.random.split(self._rng)
+        if self.mesh_plan is not None:
+            from facialmmt_tpu.parallel.mesh import (batch_sharding,
+                                                     replicate, shard_batch)
+
+            device_batch = shard_batch(self.mesh_plan, batch)
+            faces = jax.device_put(np.asarray(faces_raw),
+                                   batch_sharding(self.mesh_plan))
+            key = jax.device_put(key, replicate(self.mesh_plan))
+            return self._infer(self.variables, device_batch, faces, key)
         device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
         return self._infer(self.variables, device_batch,
                            jnp.asarray(faces_raw), key)

@@ -139,6 +139,55 @@ def test_serving_fixed_latency_path(rng):
         server.predict(heavy)  # 2 x min(6, f_max=6) = 12 > capacity 8
 
 
+def test_serving_mesh_sharded_matches_single_device(rng):
+    """The serving executable runs SPMD over a dp x tp mesh (params placed by
+    the tensor-parallel rules, packs data-sharded on their leading axes) and
+    returns the single-device numbers: sharding is layout, never math.  No
+    reference equivalent — serving and the mesh are both this framework's own
+    capabilities (SURVEY.md §5.8)."""
+    from facialmmt_tpu.models.pipeline import FacialMMTPipeline
+    from facialmmt_tpu.parallel.mesh import build_mesh
+    from facialmmt_tpu.serving import EmotionServer
+    from tests.test_models import make_multimodal_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    cfg = CFG
+    batch = make_multimodal_batch(rng, cfg, b=2)
+    model = FacialMMTPipeline(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        batch)
+    d = cfg.data
+    reqs = [{
+        "audio": rng.normal(size=(5, d.audio_feat_dim)),
+        "vision": rng.normal(size=(3, d.vision_feat_dim)),
+        "faces": rng.integers(0, 255, (3, 160, 160, 3), dtype=np.uint8),
+        "input_ids": rng.integers(2, cfg.text.vocab_size, size=(20,)),
+        "sep_mask": np.eye(20)[7],
+    }, {
+        "audio": rng.normal(size=(4, d.audio_feat_dim)),
+    }, {
+        "faces": rng.integers(0, 255, (2, 160, 160, 3), dtype=np.uint8),
+    }]
+
+    # ref first: the sharded server device_puts COPIES of the variables
+    ref = EmotionServer(cfg, variables, max_batch=4, face_capacity=8)
+    plan = build_mesh(dp=4, tp=2)
+    sharded = EmotionServer(cfg, variables, max_batch=4, face_capacity=8,
+                            mesh_plan=plan)
+    out_ref = ref.predict(reqs)
+    out_sharded = sharded.predict(reqs)
+    for a, b in zip(out_ref, out_sharded):
+        assert b.shape == (7,)
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
+
+    # static shapes must divide dp — enforced, never silently padded
+    with pytest.raises(AssertionError):
+        EmotionServer(cfg, variables, max_batch=3, face_capacity=8,
+                      mesh_plan=plan)
+
+
 # --------------------------------------------------- M3ED text-only (A5/A6) --
 
 def _load_reference_m3ed_prep():
