@@ -144,7 +144,13 @@ def test_serving_mesh_sharded_matches_single_device(rng):
     the tensor-parallel rules, packs data-sharded on their leading axes) and
     returns the single-device numbers: sharding is layout, never math.  No
     reference equivalent — serving and the mesh are both this framework's own
-    capabilities (SURVEY.md §5.8)."""
+    capabilities (SURVEY.md §5.8).
+
+    Compared at fp32 compute + fp32 wire, like the mesh trainer tests
+    (test_parallel.py): at the serving default bf16, TP legitimately reorders
+    the partial-sum reductions and perturbs probabilities by ~3e-3 rel —
+    bf16-eps noise, not a sharding bug.  The bf16/fp16-wire numerics are
+    pinned separately (test_serving_fp16_wire_matches_fp32)."""
     from facialmmt_tpu.models.pipeline import FacialMMTPipeline
     from facialmmt_tpu.parallel.mesh import build_mesh
     from facialmmt_tpu.serving import EmotionServer
@@ -172,9 +178,11 @@ def test_serving_mesh_sharded_matches_single_device(rng):
     }]
 
     # ref first: the sharded server device_puts COPIES of the variables
-    ref = EmotionServer(cfg, variables, max_batch=4, face_capacity=8)
+    ref = EmotionServer(cfg, variables, max_batch=4, face_capacity=8,
+                        dtype=jnp.float32, transfer_dtype=np.float32)
     plan = build_mesh(dp=4, tp=2)
     sharded = EmotionServer(cfg, variables, max_batch=4, face_capacity=8,
+                            dtype=jnp.float32, transfer_dtype=np.float32,
                             mesh_plan=plan)
     out_ref = ref.predict(reqs)
     out_sharded = sharded.predict(reqs)
