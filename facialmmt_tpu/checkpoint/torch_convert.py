@@ -65,6 +65,11 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
                 tensor.normal_(mean, std).clamp_(a * std, b * std)
             return tensor
 
+        # resolvable pickle identity: parity harnesses SYNTHESIZE reference
+        # checkpoints (torch.save of models built against this stub), and
+        # pickle-by-reference must find the class at its stated location
+        DropPath.__module__ = "timm.models.layers"
+        DropPath.__qualname__ = "DropPath"
         layers.DropPath = DropPath
         layers.to_2tuple = to_2tuple
         layers.trunc_normal_ = trunc_normal_

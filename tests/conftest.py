@@ -23,6 +23,57 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Smoke tier (VERDICT r4 #4): `pytest -m smoke` is the documented pre-commit
+# gate — one or two fast representatives per subsystem, kept under 10 min on
+# this 1-core box (the full suite is ~40 min, which is how round 4 shipped a
+# late-change regression: the tail never got re-run).  Curated HERE, not with
+# scattered decorators, so the tier is auditable at a glance.
+SMOKE_TESTS = {
+    # metrics + config/CLI
+    "test_metrics.py::test_weighted_f1_matches_sklearn",
+    "test_metrics.py::test_macro_f1_matches_sklearn",
+    "test_cli_config.py::test_defaults_match_reference_flags",
+    "test_cli_config.py::test_flag_overrides_flow_through",
+    # core ops
+    "test_gumbel.py::test_deterministic_mode_is_tempered_softmax",
+    "test_frame_filter.py::test_filter_matches_reference_bs1",
+    "test_span_extract.py::test_span_extract_matches_reference_loop",
+    "test_encoder.py::test_encoder_matches_numpy",
+    "test_layers.py::test_layernorm_tf_matches_manual",
+    "test_crossmodal.py::test_crossmodal_matches_numpy",
+    # pallas kernels (one fwd + one bwd representative)
+    "test_pallas.py::test_fused_attention_matches_reference",
+    "test_pallas.py::test_fused_attention_block_pallas_bwd_grads_match",
+    # models
+    "test_models.py::test_multimodal_forward_tav",
+    "test_models.py::test_fused_pipeline_end_to_end",
+    # data
+    "test_data.py::test_truncate_matches_reference",
+    "test_data.py::test_meld_multimodal_batch_assembly",
+    # training
+    "test_train.py::test_multimodal_step_two_optimizer_coupling",
+    "test_train.py::test_unimodal_training_descends",
+    # persistence/resume + preemption
+    "test_resume.py::test_unimodal_resume_from_epoch_checkpoint",
+    "test_resume.py::test_preemption_saves_checkpoint_and_resumes",
+    # mesh/sharding (one execution test + the production-dim audit)
+    "test_parallel.py::test_dp_training_step_on_mesh",
+    "test_sharding_audit.py::test_param_shardings_divide_production_dims",
+    "test_sharding_audit.py::test_zero1_shardings_divide_production_dims",
+    # serving
+    "test_serve_http.py::test_predict_matches_direct_path",
+    # appendix (M3ED)
+    "test_appendix.py::test_m3ed_text_prep_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        # nodeid relative to tests/: "tests/test_x.py::test_y[param]"
+        nodeid = item.nodeid.split("/")[-1].split("[")[0]
+        if nodeid in SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():

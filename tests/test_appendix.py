@@ -195,6 +195,18 @@ def test_serving_mesh_sharded_matches_single_device(rng):
         EmotionServer(cfg, variables, max_batch=3, face_capacity=8,
                       mesh_plan=plan)
 
+    # PRODUCTION-DEFAULT parity (ADVICE r4): bf16 compute + fp16 wire +
+    # mesh_plan vs the same bf16 single-device server, at a tolerance loose
+    # enough for TP partial-sum reordering (~3e-3 rel documented above) but
+    # tight enough to catch a gross bf16 sharding regression (e.g. a cast
+    # placed differently across shards)
+    ref16 = EmotionServer(cfg, variables, max_batch=4, face_capacity=8)
+    sharded16 = EmotionServer(cfg, variables, max_batch=4, face_capacity=8,
+                              mesh_plan=plan)
+    for a, b in zip(ref16.predict(reqs), sharded16.predict(reqs)):
+        assert b.shape == (7,)
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
+
 
 # --------------------------------------------------- M3ED text-only (A5/A6) --
 
