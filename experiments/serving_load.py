@@ -17,6 +17,12 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    from facialmmt_tpu.utils.tunnel import (enable_compilation_cache,
+                                            probe_backend)
+
+    probe_backend(emit_json=False)
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,7 +46,7 @@ def main():
     # rate — paired within one process so tunnel-speed drift (which can be
     # 2-3x day-to-day) cancels out of the comparison
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
-    router_only = mode in ("router", "routerab")
+    router_only = mode in ("router", "routerab", "midbucket")
     servers = []
     for max_batch, cap, rates in ((1, 12, (5, 10)),
                                   (8, 64, (20, 40, 80)),
@@ -59,6 +65,38 @@ def main():
                   f"p99 {stats['p99_ms']:7.1f} ms | fill "
                   f"{stats['mean_batch_fill']:.2f} | n={stats['n_requests']}",
                   flush=True)
+
+    if mode == "midbucket":
+        # VERDICT r5 #5: the transition region (offered 15-30 utt/s) pays a
+        # head-of-line premium in the 3-bucket router (r4 table: p50
+        # 1.1-2.3 s at rate 20 vs 473 ms on a dedicated (8,64)).  Paired A/B:
+        # does a (16,128) middle bucket — one medium step ≈ half the big
+        # step's latency, twice the medium capacity — close it?  Alternating
+        # order per rate so tunnel warm-drift cancels pairwise.
+        t0 = time.perf_counter()
+        mid16 = EmotionServer(cfg, variables, max_batch=16, face_capacity=128)
+        print(f"\nbucket (16, 128): warm in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        stats = benchmark_load(servers[1], rate_utt_per_s=20.0,
+                               duration_s=12.0, batch_deadline_ms=10.0)
+        print(f"  dedicated (8,64) @20/s (reference) -> "
+              f"{stats['achieved_utt_per_s']:7.1f} utt/s | "
+              f"p50 {stats['p50_ms']:7.1f} ms | p99 {stats['p99_ms']:7.1f} ms",
+              flush=True)
+        four = servers + [mid16]
+        for i, rate in enumerate((15, 20, 30)):
+            variants = (("3bkt", servers), ("4bkt", four))
+            for name, ss in (variants if i % 2 == 0 else variants[::-1]):
+                stats = benchmark_load(ss, rate_utt_per_s=float(rate),
+                                       duration_s=12.0,
+                                       batch_deadline_ms=10.0)
+                print(f"  rate {rate:4d}/s {name} -> "
+                      f"{stats['achieved_utt_per_s']:7.1f} utt/s | "
+                      f"p50 {stats['p50_ms']:7.1f} ms | "
+                      f"p99 {stats['p99_ms']:7.1f} ms | "
+                      f"buckets {stats.get('bucket_counts')} | "
+                      f"n={stats['n_requests']}", flush=True)
+        return
 
     # bucket ROUTER: one front-end over all three executables — light load
     # should see the small bucket's latency, saturation the big bucket's
