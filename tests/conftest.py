@@ -68,11 +68,23 @@ SMOKE_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
         # nodeid relative to tests/: "tests/test_x.py::test_y[param]"
         nodeid = item.nodeid.split("/")[-1].split("[")[0]
         if nodeid in SMOKE_TESTS:
             item.add_marker(pytest.mark.smoke)
+            matched.add(nodeid)
+    # rename guard: whenever every file the tier draws from was collected
+    # (i.e. not a single-file run), a SMOKE_TESTS entry that matched nothing
+    # means a test was renamed/removed and the tier silently shrank
+    smoke_files = {n.split("::")[0] for n in SMOKE_TESTS}
+    collected_files = {i.nodeid.split("/")[-1].split("::")[0] for i in items}
+    if smoke_files <= collected_files:
+        missing = SMOKE_TESTS - matched
+        assert not missing, (
+            f"SMOKE_TESTS entries match no collected test (renamed?): "
+            f"{sorted(missing)}")
 
 
 @pytest.fixture
