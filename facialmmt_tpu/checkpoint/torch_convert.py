@@ -332,8 +332,17 @@ def convert_multimodal(sd, cfg: FacialMMTConfig,
     """MultiModalTransformerForClassification (reference src/models.py:41-188).
     text_cfg overrides the tower config (tests use tiny towers)."""
     if text_cfg is None:
-        text_cfg = (TextEncoderConfig.roberta_large()
-                    if cfg.plm_name == "roberta-large"
+        # sniff the tower from the checkpoint itself — the reference's
+        # attribute is named after the class it loaded (src/models.py:49-52:
+        # self.roberta vs self.bert), so the state-dict prefix is
+        # authoritative; fall back to cfg.plm_name when ambiguous
+        has_bert = any(k.startswith("bert.") for k in sd)
+        has_roberta = any(k.startswith("roberta.") for k in sd)
+        if has_bert != has_roberta:
+            want_roberta = has_roberta
+        else:
+            want_roberta = cfg.plm_name == "roberta-large"
+        text_cfg = (TextEncoderConfig.roberta_large() if want_roberta
                     else TextEncoderConfig.bert_large())
     hf_prefix = "roberta" if text_cfg.model_type == "roberta" else "bert"
     params: Dict[str, Any] = {

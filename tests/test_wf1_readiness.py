@@ -51,19 +51,27 @@ def _install_reference(tmp_path):
 
 def _synth_full_checkpoints(tmp_path, cfg):
     """Reference-architecture torch pickles at PRODUCTION dims, keyed off
-    FacialMMTConfig() so both sides agree by construction."""
-    from transformers import RobertaConfig, RobertaModel
+    the FacialMMTConfig so both sides agree by construction.  The reference
+    picks RobertaModel vs BertModel by the LAST PATH COMPONENT of
+    pretrainedtextmodel_path (src/models.py:49-52), so the HF dir is named
+    cfg.plm_name."""
+    from transformers import (BertConfig, BertModel, RobertaConfig,
+                              RobertaModel)
 
     tcfg = cfg.text
-    hf_dir = tmp_path / "roberta-large"
+    hf_dir = tmp_path / cfg.plm_name
     torch.manual_seed(0)
-    RobertaModel(RobertaConfig(
+    hf_kw = dict(
         vocab_size=tcfg.vocab_size, hidden_size=tcfg.hidden_size,
         num_hidden_layers=tcfg.num_layers, num_attention_heads=tcfg.num_heads,
         intermediate_size=tcfg.intermediate_size,
         max_position_embeddings=tcfg.max_position_embeddings,
-        type_vocab_size=1, pad_token_id=1,
-        layer_norm_eps=tcfg.layer_norm_eps)).save_pretrained(hf_dir)
+        type_vocab_size=tcfg.type_vocab_size, pad_token_id=tcfg.pad_token_id,
+        layer_norm_eps=tcfg.layer_norm_eps)
+    if tcfg.model_type == "roberta":
+        RobertaModel(RobertaConfig(**hf_kw)).save_pretrained(hf_dir)
+    else:
+        BertModel(BertConfig(**hf_kw)).save_pretrained(hf_dir)
 
     d, enc = cfg.data, cfg.encoder
     mm_args = types.SimpleNamespace(
@@ -101,12 +109,13 @@ def _synth_full_checkpoints(tmp_path, cfg):
     torch.manual_seed(2)
     ref_swin = ref_models.SwinForAffwildClassification(swin_args).eval()
 
+    suffix = "RoBERTa" if tcfg.model_type == "roberta" else "BERT"
     pm_dir = tmp_path / "pretrained_model"
     os.makedirs(pm_dir, exist_ok=True)
-    torch.save(ref_mm, pm_dir / "multimodal_T+A+V_RoBERTa.pt",
+    torch.save(ref_mm, pm_dir / f"multimodal_T+A+V_{suffix}.pt",
                pickle_protocol=4)
-    torch.save(ref_swin, pm_dir / "best_swin_RoBERTa.pt", pickle_protocol=4)
-    return ref_mm, ref_swin, pm_dir
+    torch.save(ref_swin, pm_dir / f"best_swin_{suffix}.pt", pickle_protocol=4)
+    return ref_mm, ref_swin, pm_dir, suffix
 
 
 def _golden_wf1(cfg, ds, batch, faces_np, ref_mm, ref_swin):
@@ -161,18 +170,22 @@ def _golden_wf1(cfg, ds, batch, faces_np, ref_mm, ref_swin):
     return eval_meld(want_logits, labels, test=True), want_logits
 
 
-def test_wf1_readiness_full_dims_cli(tmp_path, rng):
-    """The README.md:95-97 evaluation command, end-to-end at full dims."""
+@pytest.mark.parametrize("plm_name", ["roberta-large", "bert-large"])
+def test_wf1_readiness_full_dims_cli(tmp_path, rng, plm_name):
+    """The README.md:95-103 evaluation commands (FacialMMT-RoBERTa 66.73 and
+    FacialMMT-BERT 64.87), end-to-end at full dims."""
     import jax.numpy as jnp
 
-    from facialmmt_tpu.config import FacialMMTConfig
+    from facialmmt_tpu.config import FacialMMTConfig, TextEncoderConfig
     from facialmmt_tpu.data.image_pipeline import meld_face_eval_transform
     from facialmmt_tpu.data.meld import MeldMultimodalDataset, MeldTextArrays
     from facialmmt_tpu.data.text_prep import MeldTextPreprocessor
     from facialmmt_tpu.main import run
 
     _install_reference(tmp_path)
-    cfg = FacialMMTConfig()  # PRODUCTION dims throughout
+    is_roberta = plm_name == "roberta-large"
+    cfg = FacialMMTConfig() if is_roberta else FacialMMTConfig(
+        plm_name=plm_name, text=TextEncoderConfig.bert_large())
     d = cfg.data
 
     # reference-format fixtures at the real feature dims
@@ -181,24 +194,24 @@ def test_wf1_readiness_full_dims_cli(tmp_path, rng):
                        vision_len=d.vision_utt_max_len,
                        audio_dim=d.audio_feat_dim,
                        vision_dim=d.vision_feat_dim, seed=11)
-    tok = WhitespaceTokenizer()
-    prep = MeldTextPreprocessor(tok, is_roberta=True,
+    tok = WhitespaceTokenizer(is_roberta=is_roberta)
+    prep = MeldTextPreprocessor(tok, is_roberta=is_roberta,
                                 max_seq_length=d.max_seq_length)
     feats = prep.preprocess_split(
         os.path.join(tmp_path, "test_sent_emo.csv"),
         os.path.join(tmp_path, "test_text.json"))
     ids, mask, sep = MeldTextPreprocessor.to_arrays(feats)
-    np.savez(os.path.join(tmp_path, "T+A+V", "text_test_roberta-large.npz"),
+    np.savez(os.path.join(tmp_path, "T+A+V", f"text_test_{plm_name}.npz"),
              ids=ids, mask=mask, sep=sep)
 
-    ref_mm, ref_swin, pm_dir = _synth_full_checkpoints(tmp_path, cfg)
+    ref_mm, ref_swin, pm_dir, suffix = _synth_full_checkpoints(tmp_path, cfg)
 
     # the documented converter command works on the same pickle (the CLI
     # converts inline; `tools convert-checkpoint` is the standalone variant)
     from facialmmt_tpu.tools import main as tools_main
 
     tools_main(["convert-checkpoint",
-                "--input", str(pm_dir / "multimodal_T+A+V_RoBERTa.pt"),
+                "--input", str(pm_dir / f"multimodal_T+A+V_{suffix}.pt"),
                 "--kind", "multimodal",
                 "--output", str(tmp_path / "converted_mm")])
     assert os.path.isdir(tmp_path / "converted_mm")
@@ -215,9 +228,9 @@ def test_wf1_readiness_full_dims_cli(tmp_path, rng):
 
     # the README command, verbatim flags (+ fp32/deterministic for parity)
     got_f1 = run([
-        "--choice_modality", "T+A+V", "--plm_name", "roberta-large",
-        "--load_multimodal_path", "multimodal_T+A+V_RoBERTa.pt",
-        "--load_swin_path", "best_swin_RoBERTa.pt", "--doEval", "1",
+        "--choice_modality", "T+A+V", "--plm_name", plm_name,
+        "--load_multimodal_path", f"multimodal_T+A+V_{suffix}.pt",
+        "--load_swin_path", f"best_swin_{suffix}.pt", "--doEval", "1",
         "--data_load_path", str(tmp_path),
         "--pretrained_model_dir", str(pm_dir),
         "--save_Model_path", str(tmp_path / "saved_model"),
