@@ -17,7 +17,8 @@ import time
 
 def probe_backend(timeout_s: float | None = None,
                   emit_json: bool = True) -> str:
-    """Initialize the JAX backend in a daemon thread with a hard timeout.
+    """Initialize the JAX backend AND push one tiny jit through
+    compile+execute+readback, in a daemon thread with a hard timeout.
 
     Returns the backend name on success.  On timeout or error, prints a
     diagnostic (a JSON `{"error": ...}` line on stdout when emit_json — NOT a
@@ -39,8 +40,20 @@ def probe_backend(timeout_s: float | None = None,
             if os.environ.get("BENCH_SIMULATE_FLAP"):
                 time.sleep(timeout_s + 3600)
             import jax
-            result["backend"] = jax.default_backend()
-            result["n_devices"] = len(jax.devices())
+
+            backend = jax.default_backend()
+            n = len(jax.devices())
+            # backend init can succeed while compile/execute traffic hangs
+            # (observed 2026-08-20: devices listed in 0.1 s, a 256x256 matmul
+            # roundtrip blocked > 60 s) — push one tiny program through the
+            # FULL compile+execute+readback path before declaring the tunnel
+            # up
+            import jax.numpy as jnp
+
+            val = float(jax.jit(lambda x: x + 1)(jnp.float32(1)))
+            assert val == 2.0, f"probe roundtrip returned {val}"
+            result["backend"] = backend
+            result["n_devices"] = n
         except Exception as e:  # noqa: BLE001 — diagnostic path
             result["error"] = repr(e)
 
@@ -53,8 +66,8 @@ def probe_backend(timeout_s: float | None = None,
         return result["backend"]
     msg = result.get(
         "error",
-        f"backend init did not return within {timeout_s:.0f}s "
-        f"(axon tunnel down?)")
+        f"backend init or compile roundtrip did not return within "
+        f"{timeout_s:.0f}s (axon tunnel down or degraded?)")
     if emit_json:
         print(json.dumps({"error": f"backend-probe: {msg}"}), flush=True)
     print(f"FATAL backend probe: {msg}", file=sys.stderr, flush=True)
