@@ -9,11 +9,76 @@ convert-checkpoint: torch .pt (reference whole-module pickles or state dicts)
 
 print-flops: analytic FLOPs of the Swin backbone (mirrors the reference's
   flops() methods, Swin_Transformer.py:149-429).
+
+doctor: environment readiness report — backend reachability (full
+  compile+execute+readback probe, catches the tunnel's degraded mode),
+  native loader build, compilation cache, optional deps.  Exit 0 iff the
+  backend answered the probe.
 """
 
 from __future__ import annotations
 
 import argparse
+
+
+def doctor(args) -> None:
+    import os
+    import sys
+
+    from facialmmt_tpu.utils.tunnel import (enable_compilation_cache,
+                                            probe_backend)
+
+    ok = True
+    print("facialmmt-tpu doctor")
+
+    backend = probe_backend(timeout_s=args.probe_timeout, emit_json=False,
+                            fatal=False)
+    if backend is None:
+        ok = False
+        print(f"  backend            : UNREACHABLE (no compile roundtrip "
+              f"within {args.probe_timeout:.0f}s — tunnel down or degraded)")
+    else:
+        import jax
+
+        devs = jax.devices()
+        print(f"  backend            : {backend} x{len(devs)} "
+              f"({devs[0].device_kind})")
+
+    enable_compilation_cache()
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    if os.path.isdir(cache_dir):
+        entries = os.listdir(cache_dir)
+        size = sum(os.path.getsize(os.path.join(cache_dir, f))
+                   for f in entries)
+        print(f"  compilation cache  : {len(entries)} entries, "
+              f"{size / 1e6:.0f} MB ({cache_dir})")
+    else:
+        print(f"  compilation cache  : empty (will populate at {cache_dir})")
+
+    from facialmmt_tpu.native import load_library
+
+    lib = load_library()
+    print(f"  native face loader : "
+          f"{'OK (libjpeg-turbo decode+resize)' if lib else 'unavailable -> cv2/PIL fallback'}")
+
+    for mod, why in (("torch", "checkpoint conversion"),
+                     ("transformers", "HF tower import"),
+                     ("cv2", "face-loader fallback"),
+                     ("yaml", "--swin_config_path"),
+                     ("sklearn", "metrics cross-check (tests only)")):
+        try:
+            __import__(mod)
+            print(f"  {mod:<19}: OK ({why})")
+        except ImportError:
+            print(f"  {mod:<19}: MISSING ({why})")
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # os._exit, not sys.exit: when the probe failed, its abandoned thread is
+    # still latched inside backend init and normal interpreter teardown
+    # SIGABRTs ("FATAL: exception not rethrown")
+    os._exit(0 if ok else 3)
 
 
 def convert_checkpoint(args) -> None:
@@ -135,6 +200,10 @@ def main(argv=None):
     f.add_argument("--batch", type=int, default=1)
     f.add_argument("--faces_per_utt", type=int, default=8)
     f.set_defaults(func=print_flops)
+
+    d = sub.add_parser("doctor")
+    d.add_argument("--probe_timeout", type=float, default=90.0)
+    d.set_defaults(func=doctor)
 
     args = p.parse_args(argv)
     args.func(args)

@@ -16,7 +16,8 @@ import time
 
 
 def probe_backend(timeout_s: float | None = None,
-                  emit_json: bool = True) -> str:
+                  emit_json: bool = True,
+                  fatal: bool = True) -> str | None:
     """Initialize the JAX backend AND push one tiny jit through
     compile+execute+readback, in a daemon thread with a hard timeout.
 
@@ -24,7 +25,10 @@ def probe_backend(timeout_s: float | None = None,
     diagnostic (a JSON `{"error": ...}` line on stdout when emit_json — NOT a
     benchmark record, so the driver can't mistake it for a 0-valued run — plus
     a plain line on stderr) and `os._exit(3)`s: a blocked backend-init thread
-    cannot be cancelled, only abandoned.
+    cannot be cancelled, only abandoned.  With fatal=False it returns None
+    instead of exiting (`tools doctor` reports rather than dies) — but the
+    abandoned thread may still be latched inside backend init, so treat the
+    process's jax as unusable afterwards.
 
     BENCH_SIMULATE_FLAP=1 forces the hang path so the guard is testable;
     BENCH_PROBE_TIMEOUT overrides the default 90 s budget.
@@ -70,6 +74,9 @@ def probe_backend(timeout_s: float | None = None,
         f"{timeout_s:.0f}s (axon tunnel down or degraded?)")
     if emit_json:
         print(json.dumps({"error": f"backend-probe: {msg}"}), flush=True)
+    if not fatal:
+        print(f"backend probe FAILED: {msg}", file=sys.stderr, flush=True)
+        return None
     print(f"FATAL backend probe: {msg}", file=sys.stderr, flush=True)
     os._exit(3)
 

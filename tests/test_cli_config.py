@@ -166,3 +166,22 @@ def test_swin_yaml_and_attention_impl_flags(tmp_path):
         os.path.join(os.path.dirname(__file__), "..", "configs",
                      "swin_conf.yaml"))
     assert ex.depths == (2, 2, 6, 2) and ex.num_heads == (3, 6, 12, 24)
+
+
+def test_tools_doctor_reports_and_exits_zero_on_cpu():
+    """`tools doctor` (environment readiness report) must answer rc=0 with a
+    backend line when the backend is reachable.  Runs in a subprocess: doctor
+    os._exit()s by design (its probe may abandon a latched backend-init
+    thread that SIGABRTs normal teardown)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "from facialmmt_tpu.tools import main; "
+         "main(['doctor', '--probe_timeout', '120'])"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "backend            : cpu" in out.stdout
+    assert "native face loader" in out.stdout
