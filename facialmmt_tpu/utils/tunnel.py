@@ -31,12 +31,19 @@ def probe_backend(timeout_s: float | None = None,
     process's jax as unusable afterwards.
 
     BENCH_SIMULATE_FLAP=1 forces the hang path so the guard is testable;
-    BENCH_PROBE_TIMEOUT overrides the default 90 s budget.
+    BENCH_PROBE_TIMEOUT overrides the default 480 s TOTAL budget.  The
+    budget is deliberately patient: the tunnel flaps on minute timescales
+    (observed 2026-08-20: down ~50 min, up for ~3 min, down again), backend
+    init completes the moment it recovers, and first contact with a
+    recovering tunnel was measured at 64 s — a tight single-shot probe
+    false-negatives a run that would have succeeded.  A heartbeat line
+    prints to stderr every 30 s while waiting so a driver tail shows
+    liveness.
     """
     import threading
 
     if timeout_s is None:
-        timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", 90))
+        timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", 480))
     result: dict = {}
 
     def probe():
@@ -63,7 +70,15 @@ def probe_backend(timeout_s: float | None = None,
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
+    deadline = time.monotonic() + timeout_s
+    waited = 0.0
+    while time.monotonic() < deadline and t.is_alive():
+        t.join(min(30.0, max(deadline - time.monotonic(), 0.1)))
+        waited = timeout_s - max(deadline - time.monotonic(), 0.0)
+        if t.is_alive():
+            print(f"backend probe: waiting for tunnel "
+                  f"({waited:.0f}/{timeout_s:.0f}s)...",
+                  file=sys.stderr, flush=True)
     if "backend" in result:
         print(f"backend probe: {result['backend']} "
               f"x{result['n_devices']} devices", file=sys.stderr, flush=True)
