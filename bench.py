@@ -41,10 +41,12 @@ line, so a cumulative JSON line is printed after EVERY phase — a timeout in
 a later phase's compile (the r04 failure mode: joint-train compile outlived
 the driver budget after eval/train/aux had measured) still records everything
 measured so far.  A persistent JAX compilation cache under .jax_cache lets
-re-runs skip single-core re-lowering.  A backend probe with a hard timeout
-(BENCH_PROBE_TIMEOUT, default 90 s; BENCH_SIMULATE_FLAP=1 forces a hang to
-test the guard) exits fast with a diagnostic JSON line instead of hanging
-into the driver budget when the axon tunnel is down.
+re-runs skip single-core re-lowering.  A patient backend probe (full
+compile+execute+readback roundtrip; BENCH_PROBE_TIMEOUT total budget,
+default 480 s, 30 s heartbeats — rides out tunnel flap windows;
+BENCH_SIMULATE_FLAP=1 forces a hang to test the guard) exits with a
+diagnostic JSON line instead of hanging indefinitely when the axon tunnel
+stays down.
 """
 
 import json

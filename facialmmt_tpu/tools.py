@@ -44,10 +44,10 @@ def doctor(args) -> None:
         print(f"  backend            : {backend} x{len(devs)} "
               f"({devs[0].device_kind})")
 
-    enable_compilation_cache()
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    if os.path.isdir(cache_dir):
+    cache_dir = enable_compilation_cache()
+    if cache_dir is None:
+        print("  compilation cache  : UNAVAILABLE")
+    elif os.path.isdir(cache_dir):
         entries = os.listdir(cache_dir)
         size = sum(os.path.getsize(os.path.join(cache_dir, f))
                    for f in entries)

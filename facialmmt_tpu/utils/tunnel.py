@@ -96,10 +96,12 @@ def probe_backend(timeout_s: float | None = None,
     os._exit(3)
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> None:
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Persistent compiled-executable cache: re-runs of the same program
     (e.g. a driver retry after a timeout) skip minutes of single-core
-    lowering.  Best-effort — never fails the caller."""
+    lowering.  Best-effort — never fails the caller.  Returns the cache dir
+    actually configured (None on failure) so callers (`tools doctor`) report
+    the directory jax is using rather than re-deriving it."""
     try:
         import jax
 
@@ -109,6 +111,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
                     os.path.abspath(__file__)))), ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return cache_dir
     except Exception as e:  # noqa: BLE001 — cache is best-effort
         print(f"compilation cache unavailable ({e!r})", file=sys.stderr,
               flush=True)
+        return None

@@ -67,19 +67,29 @@ SMOKE_TESTS = {
 }
 
 
+def _smoke_key(item):
+    """'tests/test_x.py::test_y[some/param]' -> ('test_x.py', 'test_x.py::test_y').
+
+    Split on '::' FIRST: '/' may legitimately appear inside a parametrize id,
+    so only the path component (before the first '::') is basename'd."""
+    path, sep, rest = item.nodeid.partition("::")
+    fname = path.rsplit("/", 1)[-1]
+    return fname, f"{fname}::{rest.split('[')[0]}"
+
+
 def pytest_collection_modifyitems(config, items):
     matched = set()
+    collected_files = set()
     for item in items:
-        # nodeid relative to tests/: "tests/test_x.py::test_y[param]"
-        nodeid = item.nodeid.split("/")[-1].split("[")[0]
-        if nodeid in SMOKE_TESTS:
+        fname, key = _smoke_key(item)
+        collected_files.add(fname)
+        if key in SMOKE_TESTS:
             item.add_marker(pytest.mark.smoke)
-            matched.add(nodeid)
+            matched.add(key)
     # rename guard: whenever every file the tier draws from was collected
     # (i.e. not a single-file run), a SMOKE_TESTS entry that matched nothing
     # means a test was renamed/removed and the tier silently shrank
     smoke_files = {n.split("::")[0] for n in SMOKE_TESTS}
-    collected_files = {i.nodeid.split("/")[-1].split("::")[0] for i in items}
     if smoke_files <= collected_files:
         missing = SMOKE_TESTS - matched
         assert not missing, (
