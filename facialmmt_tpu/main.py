@@ -337,6 +337,16 @@ def run(argv=None) -> float:
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
 
+    # The DEFAULT template name mirrors the file the reference ships with its
+    # project ((Appendix)CCAC2023/nustm_submission_empty.csv); when it is
+    # simply not present here, skip the CSV with a note — but a template the
+    # user EXPLICITLY pointed at must exist (the trainer raises), so a typo'd
+    # path can't silently drop the competition artifact.
+    default_template = build_argparser().get_default("submission_template")
+    if (args.submission_template == default_template
+            and not os.path.exists(args.submission_template)):
+        args.submission_template = ""
+
     cfg = resolve_pretrained_text_dir(cfg, args.pretrained_model_dir)
 
     from facialmmt_tpu.train.trainer import Trainer

@@ -72,6 +72,13 @@ class EmotionServer:
                     else jax.tree.map(lambda _: rep, v))
                 for k, v in variables.items()}
             variables = jax.device_put(variables, shardings)
+        else:
+            # commit params to device ONCE: checkpoint-restored variables
+            # arrive as host numpy trees, and numpy args to a jitted call are
+            # re-transferred EVERY call — the full roberta-large + swin
+            # parameter set per request would dwarf the pack transfer this
+            # module's wire format optimizes
+            variables = jax.device_put(variables)
         self.variables = variables
         from facialmmt_tpu.config import resolve_prng_impl
 
@@ -167,10 +174,14 @@ class EmotionServer:
         cursor = 0
         for j, req in enumerate(requests):
             if "input_ids" in req:
-                ids = np.asarray(req["input_ids"])
+                # clamp like audio/vision below: one over-length request must
+                # degrade (truncate) rather than raise — in a shared pack the
+                # broadcast ValueError would fail every co-batched future
+                max_len = batch["dia_input_ids"].shape[1]
+                ids = np.asarray(req["input_ids"])[:max_len]
                 batch["dia_input_ids"][j, :len(ids)] = ids
                 batch["dia_input_mask"][j, :len(ids)] = 1
-                sep = np.asarray(req.get("sep_mask", []))
+                sep = np.asarray(req.get("sep_mask", []))[:max_len]
                 batch["dia_sep_mask"][j, :len(sep)] = sep
                 batch["utt_in_dia_idx"][j] = req.get("utt_in_dia_idx", 0)
             batch["dia_idx"][j] = j
@@ -296,7 +307,23 @@ class AsyncBatchServer:
             fut.set_exception(RuntimeError("AsyncBatchServer is closed"))
             return fut
         self._q.put((request, fut))
+        # close() may have drained between the check above and the put: the
+        # post-join sweep in close() catches that window, but a submit racing
+        # ahead of it must not return a future nobody will resolve
+        if self._stop.is_set():
+            self._fail_queued()
         return fut
+
+    def _fail_queued(self):
+        import queue as queue_mod
+
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue_mod.Empty:
+                return
+            if not fut.done():
+                fut.set_exception(RuntimeError("AsyncBatchServer is closed"))
 
     def close(self):
         """Stop the packer.  In-flight packs resolve normally; requests still
@@ -304,6 +331,8 @@ class AsyncBatchServer:
         stranding their futures until the caller's timeout."""
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # sweep enqueues that raced past the packer's final drain
+        self._fail_queued()
 
     def _faces_of(self, request) -> int:
         faces = request.get("faces")
@@ -373,6 +402,14 @@ class AsyncBatchServer:
                     # big-bucket regime and keeps it there (head-of-line:
                     # shallow queues kept stalling behind ~1.2 s big-bucket
                     # steps — BASELINE.md router table, rate 20).
+                    # KNOWN LIMIT: fill is justified in request SLOTS only.
+                    # For bucket sets differentiated mainly by face_capacity
+                    # (e.g. (8,64)+(8,256)) a small backlog can escalate to
+                    # an executable whose face buffer stays mostly empty.
+                    # The measured default set (1,12)/(8,64)/(32,256) scales
+                    # both dims together, where the slot rule A/B-won
+                    # (BASELINE.md round-4c/5); re-measure before deploying a
+                    # face-skewed bucket set.
                     backlog = self._q.qsize() + len(self._holdover)
                     if backlog < b_new.max_batch - len(pack) - 1:
                         self._holdover.append(item)

@@ -101,8 +101,15 @@ class Trainer:
         self.plan = self._build_plan(self._effective_batch())
 
     def _effective_batch(self) -> int:
-        """Leading batch-axis size the mesh must divide (dp sharding)."""
+        """Batch-axis size the mesh must divide (dp sharding).
+
+        The joint microbatch-scan path (swin_from_target, accum > 1) shards
+        each MICRObatch of trg_batch_size utterances (axis 1 of the stacked
+        layout, _place_batch(micro=True)) — dp must divide that, not just
+        the effective batch, or device_put raises on the first step."""
         opt = self.cfg.optim
+        if self.cfg.swin_from_target and opt.trg_accumulation_steps > 1:
+            return max(opt.trg_batch_size, 1)
         return max(opt.trg_batch_size * opt.trg_accumulation_steps, 1)
 
     def _build_plan(self, batch: int):
@@ -199,6 +206,25 @@ class Trainer:
         from facialmmt_tpu.parallel.mesh import shard_batch
 
         return shard_batch(self.plan, tree, axis=1 if micro else 0)
+
+    def _place_batch_best_effort(self, tree):
+        """Data-shard a batch whose leading axis _build_plan did NOT validate
+        (the aux FER pass: aux_batch_size x accum need not equal the target
+        effective batch).  Shards when the axis divides dp; otherwise warns
+        once and leaves the batch uncommitted — correct either way, but only
+        the sharded path guarantees dp-way data parallelism."""
+        if self.plan is None:
+            return tree
+        dp = self.plan.mesh.shape[self.plan.data_axis]
+        leading = jax.tree.leaves(tree)[0].shape[0]
+        if leading % dp == 0:
+            return self._place_batch(tree)
+        if not getattr(self, "_warned_best_effort_place", False):
+            self._warned_best_effort_place = True
+            print(f"parallel plan: batch axis {leading} not divisible by "
+                  f"dp={dp}; this pass runs unsharded — size the aux batch "
+                  f"to a dp multiple for full data parallelism")
+        return tree
 
     def _rng_data(self) -> np.ndarray:
         """Raw key data of the trainer PRNG stream, for checkpointing."""
@@ -346,8 +372,11 @@ class Trainer:
         tx = make_optimizer(opt, opt.trg_lr, total_steps, opt.weight_decay)
 
         sample = train_ds.get_batch([0])
-        params = model.init(self._next_rng(), jnp.asarray(sample["feats"]),
-                            jnp.asarray(sample["mask"]))["params"]
+        # jitted init: an un-jitted init remote-compiles per op on the axon
+        # backend (CLAUDE.md) — minutes of startup for no reason
+        params = jax.jit(model.init)(
+            self._next_rng(), jnp.asarray(sample["feats"]),
+            jnp.asarray(sample["mask"]))["params"]
         state = self._place_state(SingleTaskState.create(params, tx))
         # donate the state: without it params+opt buffers exist twice per step
         train_step = jax.jit(make_unimodal_train_step(model, tx),
@@ -417,9 +446,10 @@ class Trainer:
                                 shuffle=False)
         logits_all, labels_all = [], []
         for batch, n_valid in loader.epoch(0):
-            logits, _ = eval_step(params, jnp.asarray(batch["feats"]),
-                                  jnp.asarray(batch["mask"]),
-                                  jnp.asarray(batch["labels"]))
+            feats, mask, labels = self._place_batch_best_effort(
+                (jnp.asarray(batch["feats"]), jnp.asarray(batch["mask"]),
+                 jnp.asarray(batch["labels"])))
+            logits, _ = eval_step(params, feats, mask, labels)
             logits_all.append(np.asarray(logits)[:n_valid])
             labels_all.append(np.asarray(batch["labels"])[:n_valid])
         return np.concatenate(logits_all), np.concatenate(labels_all)
@@ -476,11 +506,15 @@ class Trainer:
         if swin_variables is not None:  # pretrained Ms-Celeb backbone
             params = dict(params)
             sw = jax.tree.map(lambda x: x, params["swin_model"])
-            sw["swin"] = swin_variables["params"]["swin"]
+            sw["swin"] = graft_subtree(sw["swin"],
+                                       swin_variables["params"]["swin"],
+                                       "pretrained Swin backbone")
             params["swin_model"] = sw
             batch_stats = dict(batch_stats)
             bs_sw = dict(batch_stats["swin_model"])
-            bs_sw["swin"] = swin_variables["batch_stats"]["swin"]
+            bs_sw["swin"] = graft_subtree(
+                bs_sw["swin"], swin_variables["batch_stats"]["swin"],
+                "pretrained Swin batch stats")
             batch_stats["swin_model"] = bs_sw
         if text_params is not None:  # pretrained PLM (reference src/models.py:72-77)
             params = dict(params)
@@ -627,10 +661,12 @@ class Trainer:
                     aux_loader.epoch(epoch, start_batch=aux_sb),
                     start=aux_sb):
                 images, labels = ab
+                images, labels = self._place_batch_best_effort(
+                    (jnp.asarray(images, jnp.float32), jnp.asarray(labels)))
                 images = affwild2_train_augment(
-                    self._next_rng(), jnp.asarray(images, jnp.float32),
+                    self._next_rng(), images,
                     img_size=cfg.data.swin_img_size).astype(self.dtype)
-                state, loss = aux_step(state, images, jnp.asarray(labels),
+                state, loss = aux_step(state, images, labels,
                                        self._next_rng())
                 self.profiler.step()
                 timer.update(float(loss), n_valid)
@@ -750,10 +786,6 @@ class TextTrainer(Trainer):
     112-147) and the M3ED-style precomputed-feature subsets 'T+A' / 'T+V' /
     'T+A+V' (vision = raw extractor features, no faces/FER branch —
     reference :165-302), all with the same loop shape as the other tasks."""
-
-    def _effective_batch(self) -> int:
-        opt = self.cfg.optim
-        return max(opt.trg_batch_size * opt.trg_accumulation_steps, 1)
 
     def _build_text_model(self):
         from facialmmt_tpu.models.multimodal import (
@@ -905,7 +937,12 @@ class TextTrainer(Trainer):
         logits, labels, _ = self._evaluate_text(eval_step, params, test_ds,
                                                 bsz)
         preds = logits.argmax(-1)
-        if submission_template and os.path.exists(submission_template):
+        if submission_template and not os.path.exists(submission_template):
+            # fail loudly: a typo'd template path must not silently produce
+            # an F1-only run with the competition artifact missing
+            raise FileNotFoundError(
+                f"--submission_template not found: {submission_template}")
+        if submission_template:
             out = submission_out or os.path.join(
                 cfg.runtime.save_model_path, "nustm_submission.csv")
             write_submission_csv(logits, submission_template, out)
@@ -1087,7 +1124,12 @@ class DialogueTrainer(Trainer):
 
         preds, trues, logits, _ = self._evaluate_dialogue(
             eval_step, params, test_ds, bsz)
-        if submission_template and os.path.exists(submission_template):
+        if submission_template and not os.path.exists(submission_template):
+            # fail loudly: a typo'd template path must not silently produce
+            # an F1-only run with the competition artifact missing
+            raise FileNotFoundError(
+                f"--submission_template not found: {submission_template}")
+        if submission_template:
             out = submission_out or os.path.join(
                 cfg.runtime.save_model_path, "nustm_submission.csv")
             write_submission_csv(logits, submission_template, out)
